@@ -1,0 +1,169 @@
+"""DSP frontend tests: mel filterbank properties, STFT parity with scipy,
+frame-count contract, trim/resample/F0 behavior."""
+
+import numpy as np
+import pytest
+import scipy.signal
+
+from zerovox_tpu.dsp.mels import MelFrontend, get_mel_from_wav, hann_window, mel_filterbank
+from zerovox_tpu.dsp.audio import load_wav, resample, save_wav, trim_silence, first_and_last_hop_above_threshold
+from zerovox_tpu.dsp.pitch import estimate_f0, interpolate_f0, phoneme_level_average
+
+
+class TestMelFilterbank:
+    def test_shape(self):
+        fb = mel_filterbank(22050, 1024, 80, 0, 8000)
+        assert fb.shape == (80, 513)
+
+    def test_nonnegative_and_bounded_support(self):
+        fb = mel_filterbank(22050, 1024, 80, 0, 8000)
+        assert np.all(fb >= 0)
+        # no weight above fmax bin
+        freqs = np.linspace(0, 22050 / 2, 513)
+        assert np.all(fb[:, freqs > 8000 * 1.01] == 0)
+
+    def test_peak_frequencies_monotonic(self):
+        fb = mel_filterbank(22050, 1024, 80, 0, 8000)
+        peaks = np.argmax(fb, axis=1)
+        assert np.all(np.diff(peaks) >= 0)
+        assert peaks[0] < 5 and peaks[-1] > 350
+
+    def test_slaney_area_normalization(self):
+        # with slaney norm, each filter integrates to ~2/(width in Hz) * area = 1
+        fb = mel_filterbank(22050, 1024, 80, 0, 8000)
+        df = 22050 / 2 / 512
+        areas = fb.sum(axis=1) * df
+        # triangles of unit normalized area (discretization tolerance)
+        assert np.all(np.abs(areas - 1.0) < 0.15)
+
+    def test_linear_below_1khz(self):
+        # slaney scale is linear below 1 kHz: peak spacing ~constant in Hz
+        fb = mel_filterbank(22050, 2048, 40, 0, 1000)
+        freqs = np.linspace(0, 22050 / 2, 1025)
+        peaks = freqs[np.argmax(fb, axis=1)]
+        spacing = np.diff(peaks)
+        assert spacing.std() / spacing.mean() < 0.2
+
+
+class TestMelFrontend:
+    def test_frame_count_contract(self):
+        fe = MelFrontend()
+        # reference: pad (1024-256)//2 = 384 both sides, center=False
+        for n in [22050, 10000, 48000]:
+            audio = np.random.default_rng(0).normal(size=n).astype(np.float32) * 0.1
+            mel, energy = fe(audio)
+            expected = 1 + (n + 768 - 1024) // 256
+            assert mel.shape == (80, expected)
+            assert energy.shape == (expected,)
+
+    def test_matches_scipy_stft(self):
+        """Cross-check |STFT| against scipy.signal for a deterministic signal."""
+        fe = MelFrontend()
+        n = 22050
+        t = np.arange(n) / 22050
+        audio = (0.5 * np.sin(2 * np.pi * 440 * t)).astype(np.float32)
+
+        mel, energy = fe(audio)
+
+        pad = 384
+        ap = np.pad(audio, (pad, pad), mode="reflect")
+        win = hann_window(1024)
+        nf = 1 + (len(ap) - 1024) // 256
+        mags = np.zeros((513, nf))
+        for i in range(nf):
+            frame = ap[i * 256 : i * 256 + 1024] * win
+            mags[:, i] = np.abs(np.fft.rfft(frame))
+        fb = mel_filterbank(22050, 1024, 80, 0, 8000)
+        ref_mel = np.log(np.clip(fb @ mags, 1e-5, None))
+        ref_energy = np.linalg.norm(mags, axis=0)
+
+        # f32 on-device FFT vs f64 numpy reference: within the 1e-2 fidelity target
+        np.testing.assert_allclose(mel, ref_mel[:, : mel.shape[1]], atol=1e-2, rtol=1e-3)
+        np.testing.assert_allclose(energy, ref_energy[: energy.shape[0]], atol=5e-2, rtol=1e-3)
+
+    def test_sine_peak_bin(self):
+        """A 440 Hz sine should put its mel energy near the 440 Hz filter."""
+        fe = MelFrontend()
+        t = np.arange(22050) / 22050
+        audio = (0.5 * np.sin(2 * np.pi * 440 * t)).astype(np.float32)
+        mel, _ = fe(audio)
+        m = mel[:, 10]
+        fb = mel_filterbank(22050, 1024, 80, 0, 8000)
+        freqs = np.linspace(0, 22050 / 2, 513)
+        peak_hz = freqs[np.argmax(fb[np.argmax(m)])]
+        assert abs(peak_hz - 440) < 100
+
+    def test_wrapper_function(self):
+        audio = np.random.default_rng(1).normal(size=8000).astype(np.float32) * 0.05
+        mel, energy = get_mel_from_wav(audio, 22050, 1024, 256, 1024, 80, 0, 8000)
+        assert mel.shape[0] == 80
+        assert mel.shape[1] == energy.shape[0]
+
+
+class TestAudio:
+    def test_save_load_roundtrip(self, tmp_path):
+        sr = 22050
+        audio = (0.3 * np.sin(2 * np.pi * 220 * np.arange(sr) / sr)).astype(np.float32)
+        p = tmp_path / "x.wav"
+        save_wav(p, audio, sr)
+        loaded, lsr = load_wav(p)
+        assert lsr == sr
+        np.testing.assert_allclose(loaded, audio * 32760 / 32768, atol=1e-3)
+
+    def test_resample_length_and_tone(self):
+        sr, target = 16000, 22050
+        t = np.arange(sr) / sr
+        audio = np.sin(2 * np.pi * 440 * t).astype(np.float32)
+        out = resample(audio, sr, target)
+        assert abs(len(out) - target) <= 2
+        # dominant frequency preserved
+        spec = np.abs(np.fft.rfft(out))
+        f = np.fft.rfftfreq(len(out), 1 / target)
+        assert abs(f[np.argmax(spec)] - 440) < 5
+
+    def test_trim_silence(self):
+        sr = 22050
+        sil = np.zeros(sr // 2, dtype=np.float32)
+        tone = 0.5 * np.sin(2 * np.pi * 440 * np.arange(sr) / sr).astype(np.float32)
+        audio = np.concatenate([sil, tone, sil])
+        trimmed, (start, end) = trim_silence(audio, top_db=40)
+        assert len(trimmed) < len(audio)
+        assert abs(start - len(sil)) < 2048
+        assert abs(end - (len(sil) + len(tone))) < 4096
+
+    def test_first_last_hop(self):
+        audio = np.zeros(2560, dtype=np.float32)
+        audio[700] = 0.5
+        audio[2000] = 0.5
+        first, last = first_and_last_hop_above_threshold(audio, 256, 0.004)
+        assert first == 700 // 256
+        assert last == 2000 // 256
+
+
+class TestPitch:
+    def test_sine_f0(self):
+        sr, hop = 22050, 256
+        f0_true = 220.0
+        t = np.arange(sr) / sr
+        audio = 0.5 * np.sin(2 * np.pi * f0_true * t)
+        f0 = estimate_f0(audio, sr, hop)
+        assert f0.shape[0] == len(audio) // hop + 1
+        voiced = f0[f0 > 0]
+        assert voiced.size > 0.8 * f0.size
+        assert abs(np.median(voiced) - f0_true) < 5
+
+    def test_silence_unvoiced(self):
+        f0 = estimate_f0(np.zeros(22050), 22050, 256)
+        assert np.all(f0 == 0)
+
+    def test_interpolate(self):
+        p = np.array([0.0, 100.0, 0.0, 0.0, 200.0, 0.0])
+        out = interpolate_f0(p)
+        np.testing.assert_allclose(out, [100, 100, 100 + 100 / 3, 100 + 200 / 3, 200, 200])
+
+    def test_phoneme_average(self):
+        vals = np.arange(10, dtype=np.float64)
+        durs = [3, 3, 4]
+        out = phoneme_level_average(vals, durs)
+        # last span: pos=6, d=4, pos+d=10 not < 10 -> falls back to vals[6]
+        np.testing.assert_allclose(out, [1.0, 4.0, 6.0])

@@ -1,0 +1,197 @@
+"""Text frontend tests: symbols, numbers, romanization, normalization, tokenizer."""
+
+import numpy as np
+import pytest
+
+from zerovox_tpu.symbols import Symbols
+from zerovox_tpu.text.numbers_en import number_to_words as en_num, ordinal_to_words as en_ord, year_to_words as en_year
+from zerovox_tpu.text.numbers_de import number_to_words as de_num, ordinal_to_words as de_ord, year_to_words as de_year
+from zerovox_tpu.text.romanize import romanize
+from zerovox_tpu.text.normalize import ZeroVoxNormalizer, zerovox_normalize
+from zerovox_tpu.text.tokenizer import transcript2phonemids, text2phonemeids
+
+PHONES = "'-abcdefghijklmnopqrstuvwxyz"
+PUNCTS = " ,.;:-!?\""
+
+
+@pytest.fixture(scope="module")
+def syms():
+    return Symbols(phones=PHONES, puncts=PUNCTS)
+
+
+class TestSymbols:
+    def test_phone_ids_match_reference_layout(self, syms):
+        # reference assigns phone ids 0-based in string order (symbols.py:2-49)
+        assert syms.encode_phone("'") == 0
+        assert syms.encode_phone("-") == 1
+        assert syms.encode_phone("a") == 2
+        assert syms.encode_phone("z") == 27
+        assert syms.num_phones == 28
+
+    def test_punct_ids(self, syms):
+        assert syms.encode_punct(Symbols.NO_PUNCT) == 0
+        assert syms.encode_punct(" ") == 1
+        assert syms.encode_punct(",") == 2
+        assert syms.encode_punct('"') == 9
+        assert syms.num_puncts == 10  # NO_PUNCT + 9 chars
+
+    def test_roundtrip(self, syms):
+        for p in PHONES:
+            assert syms.decode_phone(syms.encode_phone(p)) == p
+        for p in PUNCTS:
+            assert syms.decode_punct(syms.encode_punct(p)) == p
+
+
+class TestNumbersEn:
+    @pytest.mark.parametrize("n,w", [
+        (0, "zero"), (7, "seven"), (15, "fifteen"), (21, "twenty one"),
+        (100, "one hundred"), (101, "one hundred one"),
+        (999, "nine hundred ninety nine"),
+        (1000, "one thousand"), (1234, "one thousand two hundred thirty four"),
+        (1000000, "one million"),
+        (-5, "minus five"),
+    ])
+    def test_cardinal(self, n, w):
+        assert en_num(n) == w
+
+    @pytest.mark.parametrize("n,w", [
+        (1, "first"), (2, "second"), (3, "third"), (4, "fourth"),
+        (12, "twelfth"), (20, "twentieth"), (21, "twenty first"),
+        (100, "one hundredth"),
+    ])
+    def test_ordinal(self, n, w):
+        assert en_ord(n) == w
+
+    def test_years(self):
+        assert en_year(1999) == "nineteen ninety nine"
+        assert en_year(1900) == "nineteen hundred"
+        assert en_year(2000) == "two thousand"
+        assert en_year(2007) == "twenty oh seven"
+
+
+class TestNumbersDe:
+    @pytest.mark.parametrize("n,w", [
+        (0, "null"), (1, "eins"), (7, "sieben"), (16, "sechzehn"),
+        (21, "einundzwanzig"), (30, "dreißig"),
+        (100, "einhundert"), (101, "einhunderteins"),
+        (121, "einhunderteinundzwanzig"),
+        (1000, "eintausend"),
+        (1234, "eintausendzweihundertvierunddreißig"),
+        (1000000, "eine million"), (2000000, "zwei millionen"),
+    ])
+    def test_cardinal(self, n, w):
+        assert de_num(n) == w
+
+    def test_ordinal(self):
+        assert de_ord(1) == "erste"
+        assert de_ord(3) == "dritte"
+        assert de_ord(4) == "vierte"
+        assert de_ord(20) == "zwanzigste"
+
+    def test_years(self):
+        assert de_year(1999) == "neunzehnhundertneunundneunzig"
+        assert de_year(2023) == "zweitausenddreiundzwanzig"
+
+
+class TestRomanize:
+    def test_german_umlauts(self):
+        assert romanize("Größe Übung ärgern") == "Grosse Ubung argern"
+
+    def test_accents(self):
+        assert romanize("café naïve résumé") == "cafe naive resume"
+
+    def test_apostrophes(self):
+        assert romanize("don’t") == "don't"
+
+    def test_greek_cyrillic(self):
+        assert romanize("αβγ") == "abg"
+        assert romanize("привет") == "privet"
+
+    def test_ascii_passthrough(self):
+        s = "hello world 123"
+        assert romanize(s) == s
+
+
+class TestNormalize:
+    def test_en_basic(self):
+        uroman, norm = zerovox_normalize("Hello, World!", "en")
+        assert uroman == "hello, world!"
+        assert norm == "hello world"
+
+    def test_en_numbers(self):
+        uroman, norm = zerovox_normalize("I have 21 cats.", "en")
+        assert "twenty one" in norm
+
+    def test_en_ordinal_currency_percent(self):
+        _, norm = zerovox_normalize("The 3rd item costs $5.50, a 10% discount", "en")
+        assert "third" in norm
+        assert "five dollars" in norm and "fifty cents" in norm
+        assert "ten percent" in norm
+
+    def test_en_year(self):
+        _, norm = zerovox_normalize("Born in 1984.", "en")
+        assert "nineteen eighty four" in norm
+
+    def test_de_numbers(self):
+        _, norm = zerovox_normalize("Ich habe 21 Katzen.", "de")
+        assert "einundzwanzig" in norm
+
+    def test_de_umlauts_uroman(self):
+        uroman, norm = zerovox_normalize("Schöne Grüße", "de")
+        assert norm == "schone grusse"
+
+    def test_normalized_charset(self):
+        import re
+        _, norm = zerovox_normalize("Email: foo@bar.com (50% off!) — §9 ¶2", "en")
+        assert re.fullmatch(r"[a-z' ]*", norm)
+        assert "  " not in norm
+
+    def test_normalizer_class(self):
+        n = ZeroVoxNormalizer("en")
+        assert n.language == "en"
+        u, _ = n.normalize("Test")
+        assert u == "test"
+
+
+class TestTokenizer:
+    def test_simple(self, syms):
+        phones, puncts = transcript2phonemids("ab", syms)
+        assert phones == [syms.encode_phone("a"), syms.encode_phone("b")]
+        assert puncts == [0, 0]
+
+    def test_punct_attaches_to_preceding_phone(self, syms):
+        phones, puncts = transcript2phonemids("ab, cd", syms)
+        assert phones == [2, 3, 4, 5]
+        # max-priority punct of the run ", " is "," (id 2), on the phone before
+        assert puncts == [0, 2, 0, 0]
+
+    def test_space_run(self, syms):
+        phones, puncts = transcript2phonemids("a  b", syms)
+        assert puncts == [1, 0]
+
+    def test_leading_punct_dropped(self, syms):
+        phones, puncts = transcript2phonemids(", ab", syms)
+        assert phones == [2, 3]
+        assert puncts == [0, 0]
+
+    def test_unknown_chars_skipped(self, syms):
+        phones, puncts = transcript2phonemids("a#b", syms)
+        assert phones == [2, 3]
+
+    def test_trailing_punct(self, syms):
+        phones, puncts = transcript2phonemids("ab!", syms)
+        assert puncts == [0, 7]  # "!" is id 7 in " ,.;:-!?\""
+
+    def test_max_priority_in_run(self, syms):
+        # run contains both "." (3) and " " (1): max id wins
+        phones, puncts = transcript2phonemids("a. b", syms)
+        assert puncts == [3, 0]
+
+    def test_full_path(self, syms):
+        normalizer = ZeroVoxNormalizer("en")
+        phone_ids, punct_ids = text2phonemeids("Hello, world!", syms, normalizer)
+        assert len(phone_ids) == len(punct_ids) == len("helloworld")
+        # comma after "hello"
+        assert punct_ids[4] == 2
+        # final "!" on last phone
+        assert punct_ids[-1] == 7
