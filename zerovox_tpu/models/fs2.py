@@ -1,0 +1,409 @@
+"""FastSpeech2-style acoustic model: FFT-block encoder, variance adaptor with
+static-shape length regulation, and FFT-block mel decoder with
+Speaker-Conditional LayerNorm.
+
+Architecture parity with the reference (zerovox/tts/fs2.py): same layer
+shapes, same masking discipline (padded positions zeroed after every block so
+convolutions see zeros past the sequence end), same variance-bin quantization
+— but designed TPU-first: every forward is statically shaped (text/mel length
+buckets), the length regulator is a vectorized gather
+(zerovox_tpu/ops/length_regulator.py) instead of the reference's Python loop
+(fs2.py:403-459), and attention runs as batched einsums on the MXU.
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from zerovox_tpu.config import DecoderConfig, EncoderConfig, ModelConfig
+from zerovox_tpu.models.layers import SCLN, Conv1d, LayerNorm, get_sinusoid_encoding_table
+from zerovox_tpu.ops.length_regulator import get_mask_from_lengths, length_regulate
+
+
+class MultiHeadAttention(nn.Module):
+    """Self-attention with optional SCLN conditioning
+    (reference fs2.py:108-164). Softmax masking uses -inf like the reference's
+    masked_fill; padded query rows stay finite because valid keys remain."""
+
+    n_head: int
+    d_model: int
+    d_k: int
+    d_v: int
+    scln: bool
+    dropout: float = 0.1
+
+    @nn.compact
+    def __call__(self, x, spk_emb, attn_mask, deterministic: bool = True):
+        B, L, _ = x.shape
+        residual = x
+
+        q = nn.Dense(self.n_head * self.d_k, name="w_qs")(x)
+        k = nn.Dense(self.n_head * self.d_k, name="w_ks")(x)
+        v = nn.Dense(self.n_head * self.d_v, name="w_vs")(x)
+
+        q = q.reshape(B, L, self.n_head, self.d_k)
+        k = k.reshape(B, L, self.n_head, self.d_k)
+        v = v.reshape(B, L, self.n_head, self.d_v)
+
+        # [B, h, Lq, Lk]
+        attn = jnp.einsum("bqhd,bkhd->bhqk", q, k) / np.sqrt(self.d_k)
+        if attn_mask is not None:
+            attn = jnp.where(attn_mask[:, None, :, :], -jnp.inf, attn)
+        attn = jax.nn.softmax(attn, axis=-1)
+
+        out = jnp.einsum("bhqk,bkhd->bqhd", attn, v).reshape(B, L, self.n_head * self.d_v)
+        out = nn.Dense(self.d_model, name="fc")(out)
+        out = nn.Dropout(self.dropout, deterministic=deterministic)(out)
+
+        if self.scln:
+            out = SCLN(self.d_model, name="layer_norm")(out + residual, spk_emb)
+        else:
+            out = LayerNorm(self.d_model, name="layer_norm")(out + residual)
+        return out
+
+
+class PositionwiseFeedForward(nn.Module):
+    """Two-conv FFN (k=9 then k=1) with residual + (SC)LN
+    (reference fs2.py:166-209)."""
+
+    d_in: int
+    d_hid: int
+    kernel_size: tuple[int, int]
+    scln: bool
+    dropout: float = 0.1
+
+    @nn.compact
+    def __call__(self, x, spk_emb, deterministic: bool = True):
+        residual = x
+        out = Conv1d(self.d_hid, self.kernel_size[0], padding=(self.kernel_size[0] - 1) // 2, name="w_1")(x)
+        out = jax.nn.relu(out)
+        out = Conv1d(self.d_in, self.kernel_size[1], padding=(self.kernel_size[1] - 1) // 2, name="w_2")(out)
+        out = nn.Dropout(self.dropout, deterministic=deterministic)(out)
+        if self.scln:
+            out = SCLN(self.d_in, name="layer_norm")(out + residual, spk_emb)
+        else:
+            out = LayerNorm(self.d_in, name="layer_norm")(out + residual)
+        return out
+
+
+class FFTBlock(nn.Module):
+    """MHA + FFN, each followed by zeroing of padded positions
+    (reference fs2.py:211-230)."""
+
+    d_model: int
+    n_head: int
+    d_k: int
+    d_v: int
+    d_inner: int
+    kernel_size: tuple[int, int]
+    scln: bool
+    dropout: float = 0.1
+
+    @nn.compact
+    def __call__(self, x, spk_emb, pad_mask, attn_mask, deterministic: bool = True):
+        out = MultiHeadAttention(
+            self.n_head, self.d_model, self.d_k, self.d_v, scln=self.scln,
+            dropout=self.dropout, name="slf_attn",
+        )(x, spk_emb, attn_mask, deterministic)
+        out = jnp.where(pad_mask[..., None], 0.0, out)
+
+        out = PositionwiseFeedForward(
+            self.d_model, self.d_inner, self.kernel_size, scln=self.scln,
+            dropout=self.dropout, name="pos_ffn",
+        )(out, spk_emb, deterministic)
+        out = jnp.where(pad_mask[..., None], 0.0, out)
+        return out
+
+
+def _position_table(seq_len: int, trained_len: int, d_model: int) -> jnp.ndarray:
+    """Positional encodings for a static bucket length; regenerated on the fly
+    when the bucket exceeds the trained table (reference fs2.py:287-294,
+    383-388 — here it is free because lengths are static)."""
+    n = max(seq_len, 1)
+    if seq_len > trained_len:
+        table = get_sinusoid_encoding_table(n, d_model)
+    else:
+        table = get_sinusoid_encoding_table(trained_len + 1, d_model)[:seq_len]
+    return jnp.asarray(table)
+
+
+class Encoder(nn.Module):
+    """Phone + punctuation embedding -> positions -> N FFT blocks, no SCLN
+    (reference fs2.py:317-401)."""
+
+    num_phones: int
+    num_puncts: int
+    embed_dim: int
+    punct_embed_dim: int
+    n_layers: int
+    n_head: int
+    conv_filter_size: int
+    conv_kernel_size: tuple[int, int]
+    dropout: float
+    max_txt_len: int
+
+    @nn.compact
+    def __call__(self, phonemes, puncts, pad_mask, deterministic: bool = True):
+        B, L = phonemes.shape
+        d_model = self.embed_dim + self.punct_embed_dim
+        d_k = d_v = d_model // self.n_head
+
+        emb = nn.Embed(self.num_phones + 1, self.embed_dim, name="src_word_emb")(phonemes)
+        # torch padding_idx=0: row 0 frozen at zero
+        emb = jnp.where((phonemes == 0)[..., None], 0.0, emb)
+        pemb = nn.Embed(self.num_puncts + 1, self.punct_embed_dim, name="punct_embed")(puncts)
+        pemb = jnp.where((puncts == 0)[..., None], 0.0, pemb)
+        x = jnp.concatenate([emb, pemb], axis=-1)
+
+        x = x + _position_table(L, self.max_txt_len, d_model)[None, :, :]
+
+        attn_mask = jnp.broadcast_to(pad_mask[:, None, :], (B, L, L))
+        for i in range(self.n_layers):
+            x = FFTBlock(
+                d_model, self.n_head, d_k, d_v, self.conv_filter_size,
+                self.conv_kernel_size, scln=False, dropout=self.dropout,
+                name=f"layer_{i}",
+            )(x, None, pad_mask, attn_mask, deterministic)
+        return x
+
+
+class VariancePredictor(nn.Module):
+    """Duration/pitch/energy predictor (reference fs2.py:506-563)."""
+
+    filter_size: int
+    kernel_size: int
+    dropout: float
+
+    @nn.compact
+    def __call__(self, x, pad_mask, deterministic: bool = True):
+        out = Conv1d(self.filter_size, self.kernel_size, padding=(self.kernel_size - 1) // 2, name="conv1d_1")(x)
+        out = jax.nn.relu(out)
+        out = LayerNorm(self.filter_size, name="layer_norm_1")(out)
+        out = nn.Dropout(self.dropout, deterministic=deterministic)(out)
+        # reference quirk: conv1d_2 uses padding=1 regardless of kernel size
+        out = Conv1d(self.filter_size, self.kernel_size, padding=1, name="conv1d_2")(out)
+        out = jax.nn.relu(out)
+        out = LayerNorm(self.filter_size, name="layer_norm_2")(out)
+        out = nn.Dropout(self.dropout, deterministic=deterministic)(out)
+        out = nn.Dense(1, name="linear_layer")(out)[..., 0]
+        if pad_mask is not None:
+            out = jnp.where(pad_mask, 0.0, out)
+        return out
+
+
+class VarianceAdaptor(nn.Module):
+    """Duration/pitch/energy adaptation + static length regulation
+    (reference fs2.py:575-693). Pitch embedding is added *before* the energy
+    predictor runs, matching the reference's sequencing."""
+
+    emb_size: int
+    vp_filter_size: int
+    vp_kernel_size: int
+    vp_dropout: float
+    ve_n_bins: int
+
+    def setup(self):
+        self.duration_predictor = VariancePredictor(self.vp_filter_size, self.vp_kernel_size, self.vp_dropout)
+        self.pitch_predictor = VariancePredictor(self.vp_filter_size, self.vp_kernel_size, self.vp_dropout)
+        self.energy_predictor = VariancePredictor(self.vp_filter_size, self.vp_kernel_size, self.vp_dropout)
+        self.pitch_embedding = nn.Embed(self.ve_n_bins, self.emb_size)
+        self.energy_embedding = nn.Embed(self.ve_n_bins, self.emb_size)
+
+    def _bins(self, value):
+        idx = jnp.round(value * (self.ve_n_bins - 1)).astype(jnp.int32)
+        return jnp.clip(idx, 0, self.ve_n_bins - 1)
+
+    def variance_embed(
+        self,
+        x,
+        src_mask,
+        pitch_target=None,
+        energy_target=None,
+        duration_target=None,
+        deterministic: bool = True,
+    ):
+        """Predictors + pitch/energy embedding addition + duration rounding —
+        everything *before* length regulation. Split out so bucketed inference
+        can pick the mel-length bucket on the host between the two stages."""
+        log_duration_prediction = self.duration_predictor(x, src_mask, deterministic)
+
+        pitch_prediction = self.pitch_predictor(x, src_mask, deterministic)
+        pitch_src = pitch_target if pitch_target is not None else pitch_prediction
+        x = x + self.pitch_embedding(self._bins(pitch_src))
+
+        energy_prediction = self.energy_predictor(x, src_mask, deterministic)
+        energy_src = energy_target if energy_target is not None else energy_prediction
+        x = x + self.energy_embedding(self._bins(energy_src))
+
+        if duration_target is not None:
+            duration_rounded = duration_target.astype(jnp.int32)
+        else:
+            duration_rounded = jnp.maximum(
+                jnp.round(jnp.exp(log_duration_prediction) - 1.0), 0.0
+            ).astype(jnp.int32)
+            # padded phones predict log-dur 0 -> exp(0)-1 = 0, but guard anyway
+            duration_rounded = jnp.where(src_mask, 0, duration_rounded)
+
+        return {
+            "x": x,
+            "pitch": pitch_prediction,
+            "energy": energy_prediction,
+            "log_duration": log_duration_prediction,
+            "duration_rounded": duration_rounded,
+        }
+
+    def __call__(
+        self,
+        x,
+        src_mask,
+        max_mel_len: int,
+        pitch_target=None,
+        energy_target=None,
+        duration_target=None,
+        mel_mask=None,
+        deterministic: bool = True,
+    ):
+        va = self.variance_embed(
+            x, src_mask,
+            pitch_target=pitch_target,
+            energy_target=energy_target,
+            duration_target=duration_target,
+            deterministic=deterministic,
+        )
+
+        frames, mel_len, lr_mask = length_regulate(va["x"], va["duration_rounded"], max_mel_len)
+        if mel_mask is None:
+            mel_mask = lr_mask
+
+        return {
+            "features": frames,
+            "pitch": va["pitch"],
+            "energy": va["energy"],
+            "log_duration": va["log_duration"],
+            "duration_rounded": va["duration_rounded"],
+            "mel_len": mel_len,
+            "mel_mask": mel_mask,
+        }
+
+
+class FS2Encoder(nn.Module):
+    """Encoder + speaker-embedding broadcast + variance adaptor
+    (reference fs2.py:697-775)."""
+
+    model_cfg: ModelConfig
+
+    def setup(self):
+        from zerovox_tpu.symbols import Symbols
+
+        syms = Symbols(self.model_cfg.phones, self.model_cfg.puncts)
+        enc: EncoderConfig = self.model_cfg.encoder
+        self.encoder = Encoder(
+            num_phones=syms.num_phones,
+            num_puncts=syms.num_puncts,
+            embed_dim=self.model_cfg.emb_dim,
+            punct_embed_dim=self.model_cfg.punct_emb_dim,
+            n_layers=enc.fs2_layer,
+            n_head=enc.fs2_head,
+            conv_filter_size=self.model_cfg.decoder.conv_filter_size,
+            conv_kernel_size=tuple(self.model_cfg.decoder.conv_kernel_size),
+            dropout=enc.fs2_dropout,
+            max_txt_len=self.model_cfg.max_txt_len,
+        )
+        self.variance_adaptor = VarianceAdaptor(
+            emb_size=self.model_cfg.emb_size,
+            vp_filter_size=enc.vp_filter_size,
+            vp_kernel_size=enc.vp_kernel_size,
+            vp_dropout=enc.vp_dropout,
+            ve_n_bins=enc.ve_n_bins,
+        )
+
+    def encode_variance(
+        self,
+        phonemes,
+        puncts,
+        style_embed,
+        phoneme_mask=None,
+        pitch_target=None,
+        energy_target=None,
+        duration_target=None,
+        deterministic: bool = True,
+    ):
+        """Stage A of bucketed inference: everything up to (but excluding)
+        length regulation; output shape depends only on the text bucket."""
+        if phoneme_mask is None:
+            phoneme_mask = jnp.zeros_like(phonemes, dtype=bool)
+
+        features = self.encoder(phonemes, puncts, phoneme_mask, deterministic)
+        features = features + style_embed  # [B,1,H] broadcast (fs2.py:740-741)
+
+        return self.variance_adaptor.variance_embed(
+            features,
+            phoneme_mask,
+            pitch_target=pitch_target,
+            energy_target=energy_target,
+            duration_target=duration_target,
+            deterministic=deterministic,
+        )
+
+    def __call__(
+        self,
+        phonemes,
+        puncts,
+        style_embed,
+        max_mel_len: int,
+        phoneme_mask=None,
+        pitch_target=None,
+        energy_target=None,
+        duration_target=None,
+        mel_mask=None,
+        deterministic: bool = True,
+    ):
+        if phoneme_mask is None:
+            phoneme_mask = jnp.zeros_like(phonemes, dtype=bool)
+
+        features = self.encoder(phonemes, puncts, phoneme_mask, deterministic)
+        features = features + style_embed  # [B,1,H] broadcast (fs2.py:740-741)
+
+        return self.variance_adaptor(
+            features,
+            phoneme_mask,
+            max_mel_len,
+            pitch_target=pitch_target,
+            energy_target=energy_target,
+            duration_target=duration_target,
+            mel_mask=mel_mask,
+            deterministic=deterministic,
+        )
+
+
+class FS2Decoder(nn.Module):
+    """Mel decoder: positions + N FFT blocks with SCLN + linear head
+    (reference fs2.py:232-315)."""
+
+    dec_cfg: DecoderConfig
+    max_mel_len: int
+    n_mels: int
+
+    @nn.compact
+    def __call__(self, x, mel_mask, spk_emb, deterministic: bool = True):
+        B, T, d_model = x.shape
+        cfg = self.dec_cfg
+        d_k = d_v = d_model // cfg.n_head
+
+        x = x + _position_table(T, self.max_mel_len, d_model)[None, :, :]
+
+        attn_mask = jnp.broadcast_to(mel_mask[:, None, :], (B, T, T))
+        for i in range(cfg.n_layers):
+            x = FFTBlock(
+                d_model, cfg.n_head, d_k, d_v, cfg.conv_filter_size,
+                tuple(cfg.conv_kernel_size), scln=cfg.scln, dropout=cfg.dropout,
+                name=f"layer_{i}",
+            )(x, spk_emb, mel_mask, attn_mask, deterministic)
+
+        mel = nn.Dense(self.n_mels, name="mel_linear")(x)
+        return mel

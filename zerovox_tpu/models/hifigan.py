@@ -1,0 +1,305 @@
+"""HiFi-GAN vocoder ("meldec"): generator, discriminators and GAN losses.
+
+Architecture parity with the reference (zerovox/tts/hifigan.py): conv_pre ->
+per-stage [leaky-relu, ConvTranspose1d upsample, multi-receptive-field sum of
+dilated ResBlocks averaged over kernels] -> leaky-relu -> conv_post -> tanh.
+
+TPU-first notes: runs in NLC layout; for inference the weight norm is folded
+into plain convs at import (reference calls remove_weight_norm at load,
+model.py:115) so each ResBlock is a chain of dilated convs XLA fuses with the
+activations; the generator is compiled per mel-length bucket and is the unit
+of chunked streaming synthesis (zerovox_tpu/streaming.py).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Any, Sequence
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from zerovox_tpu.models.layers import Conv1d, ConvTranspose1d, leaky_relu
+
+LRELU_SLOPE = 0.1
+
+
+@dataclass(frozen=True)
+class HifiGanConfig:
+    """Subset of the HiFi-GAN config.json contract the generator needs
+    (reference model.py:103-105 AttrDict)."""
+
+    resblock: str = "1"
+    upsample_rates: tuple[int, ...] = (8, 8, 2, 2)
+    upsample_kernel_sizes: tuple[int, ...] = (16, 16, 4, 4)
+    upsample_initial_channel: int = 512
+    resblock_kernel_sizes: tuple[int, ...] = (3, 7, 11)
+    resblock_dilation_sizes: tuple[tuple[int, ...], ...] = ((1, 3, 5), (1, 3, 5), (1, 3, 5))
+    num_mels: int = 80
+    sampling_rate: int = 22050
+
+    @staticmethod
+    def from_dict(d: dict[str, Any]) -> "HifiGanConfig":
+        def tt(v):
+            return tuple(tuple(x) if isinstance(x, list) else x for x in v)
+
+        return HifiGanConfig(
+            resblock=str(d.get("resblock", "1")),
+            upsample_rates=tuple(d.get("upsample_rates", (8, 8, 2, 2))),
+            upsample_kernel_sizes=tuple(d.get("upsample_kernel_sizes", (16, 16, 4, 4))),
+            upsample_initial_channel=int(d.get("upsample_initial_channel", 512)),
+            resblock_kernel_sizes=tuple(d.get("resblock_kernel_sizes", (3, 7, 11))),
+            resblock_dilation_sizes=tt(d.get("resblock_dilation_sizes", ((1, 3, 5),) * 3)),
+            num_mels=int(d.get("num_mels", 80)),
+            sampling_rate=int(d.get("sampling_rate", 22050)),
+        )
+
+    @property
+    def total_upsample(self) -> int:
+        out = 1
+        for r in self.upsample_rates:
+            out *= r
+        return out
+
+    def receptive_field_frames(self) -> int:
+        """Receptive-field halo of the generator measured in *mel frames* —
+        how many extra input frames a chunk needs on each side so its interior
+        samples match a full-utterance render (used by streaming synthesis)."""
+        # conv_pre: k=7 -> 3 frames each side
+        halo = 3.0
+        up = 1.0
+        for i, (r, k) in enumerate(zip(self.upsample_rates, self.upsample_kernel_sizes)):
+            up *= r
+            # transposed conv spreads each input over k samples: (k-u)//2 pad
+            halo += (k - r) / 2 / up * 2  # conservative
+            for ks, dils in zip(self.resblock_kernel_sizes, self.resblock_dilation_sizes):
+                span = sum((ks - 1) * d for d in dils) + len(dils) * (ks - 1)
+                halo += span / up
+        halo += 3.0 / up  # conv_post
+        import math
+
+        return int(math.ceil(halo))
+
+
+def get_padding(kernel_size: int, dilation: int = 1) -> int:
+    return (kernel_size * dilation - dilation) // 2
+
+
+class ResBlock1(nn.Module):
+    """Dilated/plain conv pairs (reference hifigan.py:25-62)."""
+
+    channels: int
+    kernel_size: int = 3
+    dilation: tuple[int, ...] = (1, 3, 5)
+
+    @nn.compact
+    def __call__(self, x):
+        for i, d in enumerate(self.dilation):
+            xt = leaky_relu(x, LRELU_SLOPE)
+            xt = Conv1d(self.channels, self.kernel_size, dilation=d,
+                        padding=get_padding(self.kernel_size, d), name=f"convs1_{i}")(xt)
+            xt = leaky_relu(xt, LRELU_SLOPE)
+            xt = Conv1d(self.channels, self.kernel_size, dilation=1,
+                        padding=get_padding(self.kernel_size, 1), name=f"convs2_{i}")(xt)
+            x = xt + x
+        return x
+
+
+class ResBlock2(nn.Module):
+    """(reference hifigan.py:65-86)."""
+
+    channels: int
+    kernel_size: int = 3
+    dilation: tuple[int, ...] = (1, 3)
+
+    @nn.compact
+    def __call__(self, x):
+        for i, d in enumerate(self.dilation):
+            xt = leaky_relu(x, LRELU_SLOPE)
+            xt = Conv1d(self.channels, self.kernel_size, dilation=d,
+                        padding=get_padding(self.kernel_size, d), name=f"convs_{i}")(xt)
+            x = xt + x
+        return x
+
+
+class Generator(nn.Module):
+    """HiFi-GAN generator (reference hifigan.py:89-130). Input [B, T, n_mels]
+    (NLC) -> waveform [B, T * prod(upsample_rates)]."""
+
+    cfg: HifiGanConfig
+
+    @nn.compact
+    def __call__(self, mel):
+        cfg = self.cfg
+        num_kernels = len(cfg.resblock_kernel_sizes)
+        resblock_cls = ResBlock1 if cfg.resblock == "1" else ResBlock2
+
+        x = Conv1d(cfg.upsample_initial_channel, 7, padding=3, name="conv_pre")(mel)
+
+        for i, (u, k) in enumerate(zip(cfg.upsample_rates, cfg.upsample_kernel_sizes)):
+            ch = cfg.upsample_initial_channel // (2 ** (i + 1))
+            x = leaky_relu(x, LRELU_SLOPE)
+            x = ConvTranspose1d(ch, k, stride=u, padding=(k - u) // 2, name=f"ups_{i}")(x)
+            xs = None
+            for j, (ks, dil) in enumerate(zip(cfg.resblock_kernel_sizes, cfg.resblock_dilation_sizes)):
+                r = resblock_cls(ch, ks, tuple(dil), name=f"resblocks_{i * num_kernels + j}")(x)
+                xs = r if xs is None else xs + r
+            x = xs / num_kernels
+
+        x = leaky_relu(x, 0.01)  # torch default F.leaky_relu slope (hifigan.py:126)
+        x = Conv1d(1, 7, padding=3, name="conv_post")(x)
+        x = jnp.tanh(x)
+        return x[..., 0]
+
+
+class MelDec(nn.Module):
+    """Vocoder wrapper carrying the optional mel normalization stats some
+    externally-trained checkpoints embed (reference model.py:298-299 uses
+    meldec.mean/scale; our default is identity)."""
+
+    cfg: HifiGanConfig
+
+    @nn.compact
+    def __call__(self, mel, normalize_before: bool = False):
+        if normalize_before:
+            mean = self.param("mean", nn.initializers.zeros, (self.cfg.num_mels,))
+            scale = self.param("scale", nn.initializers.ones, (self.cfg.num_mels,))
+            mel = (mel - mean) / scale
+        return Generator(self.cfg, name="generator")(mel)
+
+
+# --------------------------------------------------------------- discriminators
+
+
+class DiscriminatorP(nn.Module):
+    """Period discriminator (reference hifigan.py:142-175)."""
+
+    period: int
+    kernel_size: int = 5
+    stride: int = 3
+
+    @nn.compact
+    def __call__(self, x):  # x: [B, T]
+        fmap = []
+        B, t = x.shape
+        if t % self.period != 0:
+            n_pad = self.period - (t % self.period)
+            x = jnp.pad(x, ((0, 0), (0, n_pad)), mode="reflect")
+            t = t + n_pad
+        # [B, H=t//period, W=period, C=1]
+        x = x.reshape(B, t // self.period, self.period, 1)
+
+        channels = [32, 128, 512, 1024]
+        for i, ch in enumerate(channels):
+            x = nn.Conv(ch, (self.kernel_size, 1), strides=(self.stride, 1),
+                        padding=((get_padding(5, 1), get_padding(5, 1)), (0, 0)), name=f"convs_{i}")(x)
+            x = leaky_relu(x, LRELU_SLOPE)
+            fmap.append(x)
+        x = nn.Conv(1024, (self.kernel_size, 1), strides=(1, 1),
+                    padding=((2, 2), (0, 0)), name="convs_4")(x)
+        x = leaky_relu(x, LRELU_SLOPE)
+        fmap.append(x)
+        x = nn.Conv(1, (3, 1), padding=((1, 1), (0, 0)), name="conv_post")(x)
+        fmap.append(x)
+        return x.reshape(B, -1), fmap
+
+
+class DiscriminatorS(nn.Module):
+    """Scale discriminator (reference hifigan.py:205-230)."""
+
+    @nn.compact
+    def __call__(self, x):  # x: [B, T]
+        fmap = []
+        y = x[..., None]  # [B, T, 1]
+        specs = [
+            (128, 15, 1, 1, 7), (128, 41, 2, 4, 20), (256, 41, 2, 16, 20),
+            (512, 41, 4, 16, 20), (1024, 41, 4, 16, 20), (1024, 41, 1, 16, 20),
+            (1024, 5, 1, 1, 2),
+        ]
+        for i, (ch, k, s, g, p) in enumerate(specs):
+            y = Conv1d(ch, k, stride=s, groups=g, padding=p, name=f"convs_{i}")(y)
+            y = leaky_relu(y, LRELU_SLOPE)
+            fmap.append(y)
+        y = Conv1d(1, 3, padding=1, name="conv_post")(y)
+        fmap.append(y)
+        return y.reshape(y.shape[0], -1), fmap
+
+
+class MultiPeriodDiscriminator(nn.Module):
+    periods: tuple[int, ...] = (2, 3, 5, 7, 11)
+
+    @nn.compact
+    def __call__(self, y, y_hat):
+        y_d_rs, y_d_gs, fmap_rs, fmap_gs = [], [], [], []
+        for p in self.periods:
+            d = DiscriminatorP(p, name=f"disc_p{p}")
+            r, fr = d(y)
+            g, fg = d(y_hat)
+            y_d_rs.append(r)
+            y_d_gs.append(g)
+            fmap_rs.append(fr)
+            fmap_gs.append(fg)
+        return y_d_rs, y_d_gs, fmap_rs, fmap_gs
+
+
+def _avg_pool1d(x, kernel: int, stride: int, padding: int):
+    # torch AvgPool1d(4, 2, padding=2) with count_include_pad=True
+    xp = jnp.pad(x, ((0, 0), (padding, padding)))
+    n = 1 + (xp.shape[1] - kernel) // stride
+    idx = (jnp.arange(n) * stride)[:, None] + jnp.arange(kernel)[None, :]
+    return jnp.mean(xp[:, idx], axis=-1)
+
+
+class MultiScaleDiscriminator(nn.Module):
+    @nn.compact
+    def __call__(self, y, y_hat):
+        y_d_rs, y_d_gs, fmap_rs, fmap_gs = [], [], [], []
+        for i in range(3):
+            if i != 0:
+                y = _avg_pool1d(y, 4, 2, 2)
+                y_hat = _avg_pool1d(y_hat, 4, 2, 2)
+            d = DiscriminatorS(name=f"disc_s{i}")
+            r, fr = d(y)
+            g, fg = d(y_hat)
+            y_d_rs.append(r)
+            y_d_gs.append(g)
+            fmap_rs.append(fr)
+            fmap_gs.append(fg)
+        return y_d_rs, y_d_gs, fmap_rs, fmap_gs
+
+
+# --------------------------------------------------------------------- losses
+
+
+def feature_loss(fmap_r, fmap_g) -> jnp.ndarray:
+    """(reference hifigan.py:265-271)."""
+    loss = 0.0
+    for dr, dg in zip(fmap_r, fmap_g):
+        for rl, gl in zip(dr, dg):
+            loss += jnp.mean(jnp.abs(rl - gl))
+    return loss * 2
+
+
+def discriminator_loss(disc_real_outputs, disc_generated_outputs):
+    """LSGAN discriminator loss (reference hifigan.py:274-285)."""
+    loss = 0.0
+    r_losses, g_losses = [], []
+    for dr, dg in zip(disc_real_outputs, disc_generated_outputs):
+        r_loss = jnp.mean((1 - dr) ** 2)
+        g_loss = jnp.mean(dg**2)
+        loss += r_loss + g_loss
+        r_losses.append(r_loss)
+        g_losses.append(g_loss)
+    return loss, r_losses, g_losses
+
+
+def generator_loss(disc_outputs):
+    """(reference hifigan.py:288-296)."""
+    loss = 0.0
+    gen_losses = []
+    for dg in disc_outputs:
+        l = jnp.mean((1 - dg) ** 2)
+        gen_losses.append(l)
+        loss += l
+    return loss, gen_losses

@@ -1,0 +1,260 @@
+"""Shared neural-net primitives with PyTorch-compatible numerics.
+
+These are thin flax.linen modules whose math matches the torch ops the
+reference composes its models from, so weights imported from reference
+checkpoints (zerovox_tpu.checkpoint) reproduce outputs bit-for-bit (up to
+float associativity). Everything operates in NHC/NLC layout (batch, length,
+channels) — the TPU-friendly layout — rather than torch's NCL.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Sequence
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def torch_std(x: jnp.ndarray, axis: int = -1, keepdims: bool = True) -> jnp.ndarray:
+    """torch.std with Bessel correction (unbiased, n-1 denominator)."""
+    n = x.shape[axis]
+    mu = jnp.mean(x, axis=axis, keepdims=True)
+    var = jnp.sum((x - mu) ** 2, axis=axis, keepdims=keepdims) / max(n - 1, 1)
+    return jnp.sqrt(var)
+
+
+class Conv1d(nn.Module):
+    """1-D convolution over [B, L, C_in] -> [B, L_out, C_out].
+
+    Torch Conv1d semantics: cross-correlation, symmetric zero padding of
+    `padding` samples, optional dilation/stride/groups. Kernel stored as
+    (width, in_per_group, out) — the HIO layout lax expects.
+    """
+
+    features: int
+    kernel_size: int
+    stride: int = 1
+    padding: int = 0
+    dilation: int = 1
+    groups: int = 1
+    use_bias: bool = True
+    dtype: jnp.dtype | None = None
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        in_ch = x.shape[-1]
+        kernel = self.param(
+            "kernel",
+            nn.initializers.lecun_normal(),
+            (self.kernel_size, in_ch // self.groups, self.features),
+        )
+        y = jax.lax.conv_general_dilated(
+            x.astype(self.dtype or x.dtype),
+            kernel.astype(self.dtype or kernel.dtype),
+            window_strides=(self.stride,),
+            padding=[(self.padding, self.padding)],
+            rhs_dilation=(self.dilation,),
+            feature_group_count=self.groups,
+            dimension_numbers=("NHC", "HIO", "NHC"),
+        )
+        if self.use_bias:
+            bias = self.param("bias", nn.initializers.zeros, (self.features,))
+            y = y + bias
+        return y
+
+
+class ConvTranspose1d(nn.Module):
+    """Transposed 1-D convolution matching torch.nn.ConvTranspose1d.
+
+    out_len = (L-1)*stride - 2*padding + kernel_size. Implemented as an
+    input-dilated forward conv (lhs_dilation=stride, padding k-1-p), which is
+    exactly torch's gradient-of-conv semantics. The kernel param is stored in
+    (width, in, out) HIO layout *already spatially flipped*, i.e. a torch
+    weight (in, out, k) imports as flip(transpose(W, (2, 0, 1)), axis=0).
+    """
+
+    features: int
+    kernel_size: int
+    stride: int = 1
+    padding: int = 0
+    use_bias: bool = True
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        in_ch = x.shape[-1]
+        kernel = self.param(
+            "kernel",
+            nn.initializers.lecun_normal(),
+            (self.kernel_size, in_ch, self.features),
+        )
+        pad = self.kernel_size - 1 - self.padding
+        y = jax.lax.conv_general_dilated(
+            x,
+            kernel,
+            window_strides=(1,),
+            padding=[(pad, pad)],
+            lhs_dilation=(self.stride,),
+            dimension_numbers=("NHC", "HIO", "NHC"),
+        )
+        if self.use_bias:
+            bias = self.param("bias", nn.initializers.zeros, (self.features,))
+            y = y + bias
+        return y
+
+
+class InstanceNorm(nn.Module):
+    """InstanceNorm1d over the length axis of [B, L, C] (torch semantics:
+    normalize each channel over L per sample; running stats not tracked)."""
+
+    features: int
+    affine: bool = False
+    eps: float = 1e-5
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        mu = jnp.mean(x, axis=1, keepdims=True)
+        var = jnp.mean((x - mu) ** 2, axis=1, keepdims=True)
+        y = (x - mu) * jax.lax.rsqrt(var + self.eps)
+        if self.affine:
+            scale = self.param("scale", nn.initializers.ones, (self.features,))
+            bias = self.param("bias", nn.initializers.zeros, (self.features,))
+            y = y * scale + bias
+        return y
+
+
+class BatchNorm(nn.Module):
+    """BatchNorm matching torch eval/train semantics on [B, ..., C]."""
+
+    features: int
+    eps: float = 1e-5
+    momentum: float = 0.1  # torch convention: new = (1-m)*old + m*batch
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, use_running_average: bool = True) -> jnp.ndarray:
+        scale = self.param("scale", nn.initializers.ones, (self.features,))
+        bias = self.param("bias", nn.initializers.zeros, (self.features,))
+        ra_mean = self.variable("batch_stats", "mean", lambda: jnp.zeros(self.features))
+        ra_var = self.variable("batch_stats", "var", lambda: jnp.ones(self.features))
+
+        if use_running_average:
+            mean, var = ra_mean.value, ra_var.value
+        else:
+            axes = tuple(range(x.ndim - 1))
+            mean = jnp.mean(x, axis=axes)
+            # batch statistics use biased variance for normalization...
+            var = jnp.mean((x - mean.reshape((1,) * (x.ndim - 1) + (-1,))) ** 2, axis=axes)
+            if not self.is_initializing():
+                n = np.prod([x.shape[a] for a in axes])
+                # ...but torch updates running_var with the unbiased estimate
+                unbiased = var * n / max(n - 1, 1)
+                ra_mean.value = (1 - self.momentum) * ra_mean.value + self.momentum * mean
+                ra_var.value = (1 - self.momentum) * ra_var.value + self.momentum * unbiased
+
+        shape = (1,) * (x.ndim - 1) + (-1,)
+        inv = jax.lax.rsqrt(var + self.eps)
+        return (x - mean.reshape(shape)) * inv.reshape(shape) * scale.reshape(shape) + bias.reshape(shape)
+
+
+class LinearNorm(nn.Module):
+    """Linear projection (reference fs2.py:93-106); bias optional."""
+
+    features: int
+    use_bias: bool = False
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        kernel = self.param("kernel", nn.initializers.xavier_uniform(), (x.shape[-1], self.features))
+        y = x @ kernel
+        if self.use_bias:
+            y = y + self.param("bias", nn.initializers.zeros, (self.features,))
+        return y
+
+
+class SCLN(nn.Module):
+    """Speaker-Conditional Layer Normalization (reference fs2.py:63-90):
+    o = g(s) * (x - mu) / (sigma + eps) + b(s), with torch's *unbiased* std
+    and eps added to sigma (not variance)."""
+
+    hidden_size: int
+    eps: float = 1e-8
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, s: jnp.ndarray) -> jnp.ndarray:
+        mu = jnp.mean(x, axis=-1, keepdims=True)
+        sigma = torch_std(x, axis=-1, keepdims=True)
+        y = (x - mu) / (sigma + self.eps)
+
+        affine = LinearNorm(2 * self.hidden_size, use_bias=False, name="affine_layer")(s)
+        b, g = jnp.split(affine, 2, axis=-1)
+        return g * y + b
+
+
+class LayerNorm(nn.Module):
+    """torch.nn.LayerNorm over the last axis (biased variance, eps inside sqrt)."""
+
+    features: int
+    eps: float = 1e-5
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        scale = self.param("scale", nn.initializers.ones, (self.features,))
+        bias = self.param("bias", nn.initializers.zeros, (self.features,))
+        mu = jnp.mean(x, axis=-1, keepdims=True)
+        var = jnp.mean((x - mu) ** 2, axis=-1, keepdims=True)
+        return (x - mu) * jax.lax.rsqrt(var + self.eps) * scale + bias
+
+
+class WeightNormConv1d(nn.Module):
+    """Conv1d with weight-norm parametrization (g * v/||v||), matching
+    torch.nn.utils.weight_norm(Conv1d) with dim=0: one g per output channel,
+    norm taken over (in, k). Used by the StyleTTS decoder and HiFi-GAN during
+    training; checkpoint import can either keep (g, v) or fold them."""
+
+    features: int
+    kernel_size: int
+    stride: int = 1
+    padding: int = 0
+    dilation: int = 1
+    groups: int = 1
+    use_bias: bool = True
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        in_ch = x.shape[-1]
+        v = self.param(
+            "v", nn.initializers.lecun_normal(), (self.kernel_size, in_ch // self.groups, self.features)
+        )
+        g = self.param("g", nn.initializers.ones, (self.features,))
+        # norm over (width, in) per output channel
+        norm = jnp.sqrt(jnp.sum(v**2, axis=(0, 1), keepdims=True) + 1e-12)
+        kernel = v * (g[None, None, :] / norm)
+        y = jax.lax.conv_general_dilated(
+            x,
+            kernel,
+            window_strides=(self.stride,),
+            padding=[(self.padding, self.padding)],
+            rhs_dilation=(self.dilation,),
+            feature_group_count=self.groups,
+            dimension_numbers=("NHC", "HIO", "NHC"),
+        )
+        if self.use_bias:
+            y = y + self.param("bias", nn.initializers.zeros, (self.features,))
+        return y
+
+
+def get_sinusoid_encoding_table(n_position: int, d_hid: int) -> np.ndarray:
+    """Sinusoid position encoding table (reference fs2.py:17-37), computed in
+    float64 numpy exactly like the reference then cast to float32."""
+    positions = np.arange(n_position)[:, None]
+    hid_idx = np.arange(d_hid)[None, :]
+    angle = positions / np.power(10000, 2 * (hid_idx // 2) / d_hid)
+    table = np.zeros((n_position, d_hid))
+    table[:, 0::2] = np.sin(angle[:, 0::2])
+    table[:, 1::2] = np.cos(angle[:, 1::2])
+    return table.astype(np.float32)
+
+
+def leaky_relu(x: jnp.ndarray, negative_slope: float) -> jnp.ndarray:
+    return jnp.where(x >= 0, x, x * negative_slope)
