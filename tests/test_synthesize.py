@@ -1,0 +1,109 @@
+"""End-to-end synthesis API tests (random weights, small config)."""
+
+import numpy as np
+import pytest
+
+from zerovox_tpu.config import DecoderConfig, EncoderConfig, ModelConfig, ZeroVoxConfig
+from zerovox_tpu.models.hifigan import HifiGanConfig
+from zerovox_tpu.synthesize import MEL_BUCKETS, TEXT_BUCKETS, ZeroVoxTTS, pick_bucket
+
+
+def small_cfg(decoder_kind="fastspeech2"):
+    return ZeroVoxConfig(
+        model=ModelConfig(
+            max_txt_len=64, max_mel_len=256,
+            emb_dim=48, punct_emb_dim=16,
+            encoder=EncoderConfig(fs2_layer=1, fs2_head=2, vp_filter_size=16, ve_n_bins=16),
+            decoder=DecoderConfig(kind=decoder_kind, n_layers=1, n_head=2, conv_filter_size=64),
+        ),
+    )
+
+
+SMALL_MELDEC = HifiGanConfig(
+    resblock="1",
+    upsample_rates=(8, 8, 2, 2),
+    upsample_kernel_sizes=(16, 16, 4, 4),
+    upsample_initial_channel=32,
+    resblock_kernel_sizes=(3,),
+    resblock_dilation_sizes=((1, 3, 5),),
+)
+
+
+@pytest.fixture(scope="module")
+def synth():
+    return ZeroVoxTTS.from_random(small_cfg(), SMALL_MELDEC, seed=0)
+
+
+class TestBuckets:
+    def test_pick_bucket(self):
+        assert pick_bucket(10, TEXT_BUCKETS) == 16
+        assert pick_bucket(16, TEXT_BUCKETS) == 16
+        assert pick_bucket(500, TEXT_BUCKETS) == 512
+        assert pick_bucket(600, TEXT_BUCKETS) == 640  # beyond largest: 128-grid
+        assert pick_bucket(1, MEL_BUCKETS) == 96
+
+
+class TestSynthesis:
+    def test_tts_end_to_end(self, synth):
+        spkemb = synth.speaker_embed(np.random.default_rng(0).normal(size=12000).astype(np.float32) * 0.2)
+        assert spkemb.shape == (1, 1, synth.cfg.model.emb_size)
+        # embedding is L2-normalized
+        np.testing.assert_allclose(np.linalg.norm(np.asarray(spkemb)), 1.0, atol=1e-5)
+
+        wav, phoneme, length = synth.tts("Hello world.", spkemb)
+        assert length >= 1
+        assert wav.shape[0] == length * synth.cfg.audio.hop_size
+        assert np.all(np.abs(wav) <= 1.0)  # tanh output
+
+    def test_tts_ex_returns_mel(self, synth):
+        spkemb = np.zeros((1, 1, synth.cfg.model.emb_size), dtype=np.float32)
+        wav, phoneme, length, mel = synth.tts_ex("Testing one two three", spkemb)
+        assert mel.shape == (synth.cfg.audio.num_mels, length)
+
+    def test_empty_text(self, synth):
+        spkemb = np.zeros((1, 1, synth.cfg.model.emb_size), dtype=np.float32)
+        wav, phoneme, length, mel = synth.tts_ex("...", spkemb)
+        assert length == 0
+
+    def test_forced_duration(self, synth):
+        spkemb = np.zeros((1, 1, synth.cfg.model.emb_size), dtype=np.float32)
+        ids, _ = synth.text2phonemeids("abcde")
+        duration = np.full(len(ids), 3, dtype=np.int32)
+        wav, phoneme, length, mel = synth.tts_ex("abcde", spkemb, duration=duration)
+        assert length == 3 * len(ids)
+
+    def test_same_bucket_same_program(self, synth):
+        """Texts in the same bucket reuse the compiled program (no recompile)."""
+        spkemb = np.zeros((1, 1, synth.cfg.model.emb_size), dtype=np.float32)
+        synth.tts("short", spkemb)
+        n_before = synth._jit_encode._cache_size()
+        synth.tts("also short", spkemb)
+        assert synth._jit_encode._cache_size() == n_before
+
+    def test_styletts_decoder_path(self):
+        synth2 = ZeroVoxTTS.from_random(small_cfg("styletts"), SMALL_MELDEC, seed=1)
+        spkemb = np.zeros((1, 1, synth2.cfg.model.emb_size), dtype=np.float32)
+        wav, phoneme, length = synth2.tts("style decoder test", spkemb)
+        assert wav.shape[0] == length * synth2.cfg.audio.hop_size
+
+
+class TestStreaming:
+    def test_stream_matches_full(self, synth):
+        """Streamed chunks must concatenate to the full-utterance waveform."""
+        spkemb = np.zeros((1, 1, synth.cfg.model.emb_size), dtype=np.float32)
+        text = "streaming synthesis should be sample exact"
+
+        wav_full, _, length = synth.tts(text, spkemb)
+        chunks = list(synth.tts_stream(text, spkemb, chunk_frames=32))
+        wav_stream = np.concatenate(chunks)
+
+        assert len(wav_stream) == len(wav_full)
+        np.testing.assert_allclose(wav_stream, wav_full, atol=1e-5)
+
+    def test_first_chunk_smaller_than_total(self, synth):
+        spkemb = np.zeros((1, 1, synth.cfg.model.emb_size), dtype=np.float32)
+        gen = synth.tts_stream("a reasonably long sentence for chunking purposes", spkemb, chunk_frames=32)
+        first = next(gen)
+        rest = list(gen)
+        assert len(first) == 32 * synth.cfg.audio.hop_size
+        assert len(rest) >= 1

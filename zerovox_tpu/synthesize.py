@@ -1,0 +1,429 @@
+"""ZeroVoxTTS: the synthesis API.
+
+Surface parity with the reference (zerovox/tts/synthesize.py:38-328):
+``load_model`` / ``speaker_embed`` / ``tts`` / ``tts_ex`` /
+``text2phonemeids`` / ``available_speakerrefs`` — but the execution model is
+TPU-native (SURVEY.md §7):
+
+  * Text and mel lengths are padded to static **buckets**; each
+    (text-bucket), (text,mel-bucket) and (mel-bucket) combination compiles to
+    one cached XLA program — no recompiles across utterances, no
+    high-water-mark hack (reference model.py:330-335).
+  * Synthesis is three jitted programs: stage A (phoneme encoder + variance
+    predictors, text-bucket shaped), stage B (length-regulate + mel decoder,
+    chosen from the predicted mel length with one scalar host sync), and the
+    vocoder per mel bucket.
+  * ``tts_stream`` yields audio chunk-by-chunk (chunked vocoding with
+    receptive-field halos, zerovox_tpu/streaming.py) for sub-100 ms first
+    audio — a capability the reference lacks (whole-utterance vocoding only,
+    model.py:337).
+"""
+
+from __future__ import annotations
+
+import functools
+import glob
+import json
+import os
+import time
+from pathlib import Path
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import yaml
+
+from zerovox_tpu import hub
+from zerovox_tpu.config import ZeroVoxConfig
+from zerovox_tpu.dsp.audio import load_wav, trim_silence
+from zerovox_tpu.dsp.mels import MelFrontend
+from zerovox_tpu.models.hifigan import HifiGanConfig, MelDec
+from zerovox_tpu.models.zerovox import ZeroVox
+from zerovox_tpu.symbols import Symbols
+from zerovox_tpu.text.normalize import ZeroVoxNormalizer
+from zerovox_tpu.text.tokenizer import transcript2phonemids
+from zerovox_tpu.utils.profiling import StageTimer
+
+DEFAULT_REFAUDIO = "en_kevin.wav"
+
+# static-shape buckets (SURVEY.md §7.1)
+TEXT_BUCKETS = (16, 32, 64, 96, 128, 192, 256, 384, 512)
+MEL_BUCKETS = (96, 176, 344, 512, 689, 1024, 1408, 1750)
+
+
+def pick_bucket(n: int, buckets) -> int:
+    for b in buckets:
+        if b >= n:
+            return b
+    return ((n + 127) // 128) * 128  # beyond the largest bucket: 128-grid
+
+
+class ZeroVoxTTS:
+    """End-to-end zero-shot TTS engine."""
+
+    def __init__(
+        self,
+        cfg: ZeroVoxConfig,
+        variables: dict,
+        meldec_cfg: HifiGanConfig,
+        meldec_variables: dict,
+        language: str | None = None,
+        verbose: bool = False,
+        meldec_model: str = "",
+    ):
+        self.cfg = cfg
+        self._verbose = verbose
+        self._meldec_model = meldec_model
+        self._symbols = Symbols(phones=cfg.model.phones, puncts=cfg.model.puncts)
+        self._normalizer = ZeroVoxNormalizer(language or cfg.langs[0])
+
+        self._model = ZeroVox(cfg)
+        self._variables = variables
+        self._meldec = MelDec(meldec_cfg)
+        self._meldec_cfg = meldec_cfg
+        self._meldec_variables = meldec_variables
+
+        a = cfg.audio
+        self._hop_length = a.hop_size
+        self._sampling_rate = a.sampling_rate
+        self._frontend = MelFrontend(a.sampling_rate, a.fft_size, a.hop_size,
+                                     a.win_length, a.num_mels, a.fmin, a.fmax)
+
+        self._build_jit()
+
+    # ----------------------------------------------------------- jit programs
+
+    def _build_jit(self):
+        model, meldec = self._model, self._meldec
+
+        @jax.jit
+        def spk_embed(variables, ref_mel):
+            return model.apply(variables, ref_mel, method=ZeroVox.speaker_embed)
+
+        @jax.jit
+        def encode(variables, phonemes, puncts, mask, style):
+            return model.apply(variables, phonemes, puncts, style,
+                               phoneme_mask=mask, method=ZeroVox.encode)
+
+        @jax.jit
+        def encode_forced(variables, phonemes, puncts, mask, style, duration):
+            return model.apply(variables, phonemes, puncts, style,
+                               phoneme_mask=mask, duration_target=duration,
+                               method=ZeroVox.encode)
+
+        @functools.partial(jax.jit, static_argnames=("max_mel_len",))
+        def decode(variables, x, durations, style, max_mel_len):
+            return model.apply(variables, x, durations, style, max_mel_len,
+                               method=ZeroVox.decode)
+
+        @jax.jit
+        def vocode(variables, mel):
+            return meldec.apply(variables, mel)
+
+        self._jit_spk_embed = spk_embed
+        self._jit_encode = encode
+        self._jit_encode_forced = encode_forced
+        self._jit_decode = decode
+        self._jit_vocode = vocode
+
+    # ------------------------------------------------------------ public API
+
+    @property
+    def normalizer(self):
+        return self._normalizer
+
+    @property
+    def language(self) -> str:
+        return self._normalizer.language
+
+    @language.setter
+    def language(self, value: str):
+        if value != self._normalizer.language:
+            self._normalizer = ZeroVoxNormalizer(value)
+
+    @property
+    def meldec_model(self) -> str:
+        return self._meldec_model
+
+    @staticmethod
+    def available_speakerrefs() -> list[str]:
+        """Speaker reference wavs: any *.wav under the packaged refaudio dir
+        and the ZEROVOX_REFAUDIO_DIR override (reference ships 68 wavs in
+        zerovox/tts/refaudio; artifacts are distributed, not vendored here)."""
+        speakers = []
+        for d in ZeroVoxTTS._refaudio_dirs():
+            if os.path.isdir(d):
+                speakers.extend(f for f in os.listdir(d) if f.endswith(".wav"))
+        return sorted(set(speakers), key=str.casefold)
+
+    @staticmethod
+    def _refaudio_dirs():
+        dirs = []
+        if os.getenv("ZEROVOX_REFAUDIO_DIR"):
+            dirs.append(os.getenv("ZEROVOX_REFAUDIO_DIR"))
+        dirs.append(str(Path(__file__).parent / "refaudio"))
+        return dirs
+
+    @staticmethod
+    def get_speakerref(speakerref: str, sampling_rate: int) -> np.ndarray:
+        if os.path.isfile(speakerref):
+            wav, _ = load_wav(speakerref, target_sr=sampling_rate)
+            return wav
+        for d in ZeroVoxTTS._refaudio_dirs():
+            p = os.path.join(d, speakerref)
+            if os.path.isfile(p):
+                wav, _ = load_wav(p, target_sr=sampling_rate)
+                return wav
+        raise FileNotFoundError(f"speaker reference wav not found: {speakerref}")
+
+    def speaker_embed(self, wav: np.ndarray) -> jax.Array:
+        """Reference wav -> [1, 1, emb] (run once per voice; reference
+        zerovox/tts/synthesize.py:123-143)."""
+        wav, _ = trim_silence(wav, top_db=40.0)
+        mel, _ = self._frontend(wav)  # [n_mels, T]
+        x = mel.T[None, :, :].astype(np.float32)
+        return self._jit_spk_embed(self._variables, x)
+
+    def text2phonemeids(self, text: str) -> tuple[list[int], list[int]]:
+        transcript_uroman, _ = self._normalizer.normalize(text)
+        phone_ids, punct_ids = transcript2phonemids(transcript_uroman, self._symbols)
+        if self._verbose:
+            print(f"Raw Text Sequence: {text}")
+            print(f"Normalized       : {transcript_uroman}")
+            print(f"Phoneme IDs      : {phone_ids}")
+            print(f"Punct IDs        : {punct_ids}")
+        return phone_ids, punct_ids
+
+    # ------------------------------------------------------- synthesis core
+
+    def _prepare_inputs(self, phone_ids, punct_ids, duration=None):
+        L = pick_bucket(len(phone_ids), TEXT_BUCKETS)
+        phonemes = np.zeros((1, L), dtype=np.int32)
+        puncts = np.zeros((1, L), dtype=np.int32)
+        mask = np.ones((1, L), dtype=bool)
+        n = len(phone_ids)
+        phonemes[0, :n] = phone_ids
+        puncts[0, :n] = punct_ids
+        mask[0, :n] = False
+        dur = None
+        if duration is not None:
+            dur = np.zeros((1, L), dtype=np.int32)
+            dur[0, :n] = duration[:n]
+        return phonemes, puncts, mask, dur
+
+    def _synthesize(self, phone_ids, punct_ids, spkemb, duration=None, timer: StageTimer | None = None):
+        """Returns (wav [N], mel_len int, log_duration, mel [n_mels, mel_len])."""
+        phonemes, puncts, mask, dur = self._prepare_inputs(phone_ids, punct_ids, duration)
+
+        if dur is not None:
+            enc = self._jit_encode_forced(self._variables, phonemes, puncts, mask, spkemb, dur)
+        else:
+            enc = self._jit_encode(self._variables, phonemes, puncts, mask, spkemb)
+
+        mel_len = int(jnp.sum(enc["duration_rounded"]))  # one scalar host sync
+        if timer:
+            timer.mark("pe")
+
+        mel_len = max(min(mel_len, self.cfg.model.max_mel_len), 1)
+        T = pick_bucket(mel_len, MEL_BUCKETS)
+
+        mel, mel_len_dev, _ = self._jit_decode(
+            self._variables, enc["x"], enc["duration_rounded"], spkemb, T
+        )
+        if timer:
+            mel.block_until_ready()
+            timer.mark("dec")
+
+        wav = self._jit_vocode(self._meldec_variables, mel)
+        wav.block_until_ready()
+        if timer:
+            timer.mark("meldec")
+
+        wav_np = np.asarray(wav[0, : mel_len * self._hop_length])
+        mel_np = np.asarray(mel[0, :mel_len, :]).T
+        return wav_np, mel_len, enc["log_duration"], mel_np
+
+    def tts_ex(self, text: str, spkemb, duration=None):
+        """(reference zerovox/tts/synthesize.py:213-239)."""
+        text = text.strip()
+
+        tstart_g2p = time.time()
+        phone_ids, punct_ids = self.text2phonemeids(text)
+        tend_g2p = time.time()
+
+        if not phone_ids:
+            return (np.array([[0.0]], dtype=np.float32),
+                    np.array([[0]], dtype=np.int32), 0,
+                    np.array([[0.0]], dtype=np.float32))
+
+        timer = StageTimer() if self._verbose else None
+        tstart_synth = time.time()
+        wav, length, _, mel = self._synthesize(phone_ids, punct_ids, spkemb,
+                                               duration=duration, timer=timer)
+        tend_synth = time.time()
+
+        if self._verbose:
+            print(f"synthesis timing stats: {timer.report()}")
+            print(f"tts timing stats: g2p={tend_g2p - tstart_g2p}s, synth={tend_synth - tstart_synth}s")
+
+        phoneme = np.array([phone_ids], dtype=np.int32)
+        return wav, phoneme, length, mel
+
+    def tts(self, text: str, spkemb):
+        wav, phoneme, length, _ = self.tts_ex(text=text, spkemb=spkemb)
+        return wav, phoneme, length
+
+    def tts_stream(self, text: str, spkemb, chunk_frames: int = 96):
+        """Streaming synthesis: yields waveform chunks as they are vocoded.
+        First audio is available after one decoder pass + one chunk vocode
+        instead of the full utterance (see zerovox_tpu/streaming.py)."""
+        from zerovox_tpu.streaming import stream_vocode
+
+        phone_ids, punct_ids = self.text2phonemeids(text.strip())
+        if not phone_ids:
+            return
+
+        phonemes, puncts, mask, _ = self._prepare_inputs(phone_ids, punct_ids)
+        enc = self._jit_encode(self._variables, phonemes, puncts, mask, spkemb)
+        mel_len = int(jnp.sum(enc["duration_rounded"]))
+        mel_len = max(min(mel_len, self.cfg.model.max_mel_len), 1)
+        T = pick_bucket(mel_len, MEL_BUCKETS)
+        mel, _, _ = self._jit_decode(self._variables, enc["x"], enc["duration_rounded"], spkemb, T)
+
+        yield from stream_vocode(
+            self._meldec, self._meldec_variables, self._meldec_cfg,
+            mel, mel_len, self._hop_length, chunk_frames=chunk_frames,
+        )
+
+    def warmup(self, texts=("This is a warmup utterance.",), spkemb=None):
+        """Compile the bucket programs ahead of serving."""
+        if spkemb is None:
+            spkemb = jnp.zeros((1, 1, self.cfg.model.emb_size), dtype=jnp.float32)
+        for t in texts:
+            self.tts(t, spkemb)
+
+    def summary(self, depth: int = 1, ref_mel=None):
+        """Parameter-count summary (reference uses torchinfo, synthesize.py:245-266)."""
+        counts = jax.tree.map(lambda x: int(np.prod(np.asarray(x).shape)), self._variables["params"])
+        total = sum(jax.tree.leaves(counts))
+        print(f"ZeroVox acoustic model parameters: {total:,}")
+        for name, sub in self._variables["params"].items():
+            n = sum(jax.tree.leaves(jax.tree.map(lambda x: int(np.prod(np.asarray(x).shape)), sub)))
+            print(f"  {name}: {n:,}")
+        mc = sum(jax.tree.leaves(jax.tree.map(lambda x: int(np.prod(np.asarray(x).shape)),
+                                              self._meldec_variables["params"])))
+        print(f"meldec (vocoder) parameters: {mc:,}")
+        return total
+
+    # ------------------------------------------------------------- loaders
+
+    @classmethod
+    def load_model(cls, modelpath, meldec_model, infer_device: str = "",
+                   num_threads: int = -1, verbose: bool = False):
+        """Resolve modelcfg.yaml + newest checkpoint from a local dir or the
+        hub (reference zerovox/tts/synthesize.py:286-328). Returns
+        (modelcfg dict, ZeroVoxTTS). `infer_device`/`num_threads` are accepted
+        for API compatibility; device placement is JAX's."""
+        if os.path.isdir(modelpath):
+            config_path = Path(modelpath) / "modelcfg.yaml"
+            ckpts = glob.glob(os.path.join(modelpath, "checkpoints/*.ckpt"))
+            ckpts += glob.glob(os.path.join(modelpath, "checkpoints/*.msgpack"))
+            checkpoint = max(ckpts, key=os.path.getctime)
+        else:
+            config_path = hub.download_model_file(model=str(modelpath), relpath="modelcfg.yaml")
+            checkpoint = hub.download_model_file(model=str(modelpath), relpath="checkpoint.pkl")
+
+        if verbose:
+            print("synthesize: using config    : ", config_path)
+            print("synthesize: using checkpoint: ", checkpoint)
+
+        with open(config_path) as f:
+            modelcfg = yaml.load(f, Loader=yaml.FullLoader)
+        cfg = ZeroVoxConfig.from_dict(modelcfg)
+
+        variables, embedded_meldec = cls._load_acoustic_variables(checkpoint, cfg)
+        meldec_cfg, meldec_vars = cls._load_meldec(meldec_model, embedded_meldec, verbose)
+
+        synth = cls(cfg, variables, meldec_cfg, meldec_vars,
+                    language=cfg.langs[0], verbose=verbose, meldec_model=str(meldec_model))
+        return modelcfg, synth
+
+    @staticmethod
+    def _load_acoustic_variables(checkpoint, cfg):
+        checkpoint = str(checkpoint)
+        if checkpoint.endswith(".msgpack"):
+            from zerovox_tpu.training.checkpointing import load_native_checkpoint
+
+            return load_native_checkpoint(checkpoint), None
+        from zerovox_tpu.checkpoint import load_zerovox_checkpoint
+
+        variables = load_zerovox_checkpoint(checkpoint, cfg)
+        embedded = variables.pop("meldec_state_dict", None)
+        return variables, embedded
+
+    @staticmethod
+    def _load_meldec(meldec_model, embedded_state_dict=None, verbose=False):
+        """HiFi-GAN config.json + generator.ckpt from a local dir or the hub
+        (reference zerovox/tts/model.py:86-118); weight norm folded at import."""
+        from zerovox_tpu.checkpoint import _SD, convert_hifigan_generator
+
+        if meldec_model and os.path.isdir(str(meldec_model)):
+            config_path = Path(meldec_model) / "config.json"
+            gen_path = Path(meldec_model) / "generator.ckpt"
+        elif meldec_model:
+            config_path = hub.download_model_file(model=str(meldec_model), relpath="config.json")
+            gen_path = hub.download_model_file(model=str(meldec_model), relpath="generator.ckpt")
+        else:
+            config_path = gen_path = None
+
+        if config_path is not None:
+            if verbose:
+                print("meldec: using config    : ", config_path)
+                print("meldec: using checkpoint: ", gen_path)
+            with open(config_path) as f:
+                meldec_cfg = HifiGanConfig.from_dict(json.loads(f.read()))
+            from zerovox_tpu.checkpoint import load_torch_checkpoint
+
+            sd = load_torch_checkpoint(gen_path)
+            gen_params = convert_hifigan_generator(_SD(sd), meldec_cfg)
+        elif embedded_state_dict is not None:
+            meldec_cfg = HifiGanConfig()
+            gen_params = convert_hifigan_generator(_SD(embedded_state_dict), meldec_cfg)
+        else:
+            raise ValueError("no meldec model specified and none embedded in checkpoint")
+
+        mean = np.zeros(meldec_cfg.num_mels, np.float32)
+        scale = np.ones(meldec_cfg.num_mels, np.float32)
+        if embedded_state_dict and "mean" in (embedded_state_dict or {}):
+            mean = np.asarray(embedded_state_dict["mean"], np.float32)
+            scale = np.asarray(embedded_state_dict["scale"], np.float32)
+        meldec_vars = {"params": {"generator": gen_params, "mean": mean, "scale": scale}}
+        return meldec_cfg, meldec_vars
+
+    @classmethod
+    def from_random(cls, cfg: ZeroVoxConfig | None = None,
+                    meldec_cfg: HifiGanConfig | None = None,
+                    seed: int = 0, language: str = "en", verbose: bool = False):
+        """Random-initialized engine (benchmarking / tests / offline envs)."""
+        cfg = cfg or ZeroVoxConfig()
+        meldec_cfg = meldec_cfg or HifiGanConfig(num_mels=cfg.audio.num_mels,
+                                                 sampling_rate=cfg.audio.sampling_rate)
+        key = jax.random.PRNGKey(seed)
+        model = ZeroVox(cfg)
+        batch = {
+            "phoneme": jnp.zeros((1, 16), jnp.int32),
+            "puncts": jnp.zeros((1, 16), jnp.int32),
+            "phoneme_mask": jnp.zeros((1, 16), bool),
+            "pitch": jnp.zeros((1, 16)),
+            "energy": jnp.zeros((1, 16)),
+            "duration": jnp.ones((1, 16), jnp.int32),
+            "mel_mask": jnp.zeros((1, 16), bool),
+            "ref_mel": jnp.zeros((1, 32, cfg.audio.num_mels)),
+        }
+        variables = model.init({"params": key}, batch, train=False)
+
+        meldec = MelDec(meldec_cfg)
+        mdvars = meldec.init(jax.random.PRNGKey(seed + 1),
+                             jnp.zeros((1, 16, meldec_cfg.num_mels)), normalize_before=True)
+        return cls(cfg, jax.tree.map(np.asarray, variables), meldec_cfg,
+                   jax.tree.map(np.asarray, mdvars), language=language, verbose=verbose)
