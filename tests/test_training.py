@@ -1,0 +1,222 @@
+"""Training pipeline tests: synthetic corpus -> data module -> SPMD train step
+on the virtual 8-device CPU mesh; checkpoint roundtrip; decoder-only freeze."""
+
+import json
+import os
+
+import jax
+import numpy as np
+import pytest
+import yaml
+
+from zerovox_tpu.config import DecoderConfig, EncoderConfig, ModelConfig, ZeroVoxConfig
+from zerovox_tpu.parallel.mesh import MeshConfig, make_mesh
+from zerovox_tpu.symbols import Symbols
+from zerovox_tpu.training.data import SpeechDataModule, collate
+from zerovox_tpu.training.trainer import Trainer, TrainerConfig, device_batch
+
+PHONES = "'-abcdefghijklmnopqrstuvwxyz"
+PUNCTS = " ,.;:-!?\""
+N_MELS = 20
+
+
+def tiny_cfg():
+    return ZeroVoxConfig.from_dict({
+        "audio": {"num_mels": N_MELS},
+        "model": {
+            "max_txt_len": 64, "max_mel_len": 256,
+            "phones": PHONES, "puncts": PUNCTS,
+            "emb_dim": 16, "punct_emb_dim": 8,
+            "encoder": {"fs2_layer": 1, "fs2_head": 2, "vp_filter_size": 8, "ve_n_bins": 8},
+            "decoder": {"kind": "fastspeech2", "n_layers": 1, "n_head": 2, "conv_filter_size": 32},
+            "resnet": {"layers": [1, 1, 1, 1], "num_filters": [4, 8, 8, 8]},
+        },
+        "training": {"learning_rate": 1e-3},
+        "stats": {"pitch_min": 50.0, "pitch_max": 400.0, "energy_min": 0.1, "energy_max": 50.0},
+        "lang": ["en"],
+    })
+
+
+@pytest.fixture(scope="module")
+def corpus_dir(tmp_path_factory):
+    """Synthetic preprocessed corpus matching the reference on-disk contract."""
+    root = tmp_path_factory.mktemp("corpus")
+    pp = root / "test_corpus"
+    for d in ["mel", "pitch", "energy", "duration", "wavs"]:
+        os.makedirs(pp / d)
+
+    rng = np.random.default_rng(0)
+    lines = []
+    for i in range(12):
+        base = f"utt{i:03d}"
+        L = int(rng.integers(8, 20))
+        phones = rng.integers(0, 28, size=L)
+        puncts = rng.integers(0, 10, size=L)
+        durations = rng.integers(2, 8, size=L).astype(np.int64)
+        T = int(durations.sum())
+        mel = rng.normal(size=(T, N_MELS)).astype(np.float32)
+        pitch = rng.uniform(60, 390, size=L).astype(np.float32)
+        energy = rng.uniform(0.2, 45, size=L).astype(np.float32)
+
+        np.save(pp / "mel" / f"mel-{base}.npy", mel)
+        np.save(pp / "pitch" / f"pitch-{base}.npy", pitch)
+        np.save(pp / "energy" / f"energy-{base}.npy", energy)
+        np.save(pp / "duration" / f"duration-{base}.npy", durations)
+        with open(pp / "mel" / f"startstop-{base}.json", "w") as f:
+            json.dump({"start_hop": 0, "end_hop": T}, f)
+        lines.append(f"{base}.wav|{','.join(map(str, phones))}|{','.join(map(str, puncts))}|text {i}")
+
+    with open(pp / "train.txt", "w") as f:
+        f.write("\n".join(lines) + "\n")
+    with open(pp / "stats.json", "w") as f:
+        json.dump({"pitch": [50.0, 400.0], "energy": [0.1, 50.0]}, f)
+
+    return str(root)
+
+
+@pytest.fixture(scope="module")
+def datamodule(corpus_dir):
+    cfg = tiny_cfg()
+    corpora = [{"language": "en", "path": {"preprocessed_path": "test_corpus"}}]
+    dm = SpeechDataModule(
+        corpora, Symbols(PHONES, PUNCTS),
+        stats={"pitch_min": 50.0, "pitch_max": 400.0, "energy_min": 0.1, "energy_max": 50.0},
+        batch_size=8, num_workers=2, base_path=corpus_dir, ref_mel_len=64,
+    )
+    dm.prepare_data()
+    return dm
+
+
+class TestDataModule:
+    def test_dataset_loads_all(self, datamodule):
+        assert len(datamodule.train_dataset) == 12
+
+    def test_item_contract(self, datamodule):
+        it = datamodule.train_dataset.load_item(0)
+        assert it["mel"].shape[0] == int(it["duration"].sum())
+        assert len(it["phoneme"]) == len(it["pitch"]) == len(it["duration"])
+        # pitch/energy normalized into [0, 1]
+        assert 0 <= it["pitch"].min() and it["pitch"].max() <= 1.0
+        assert 0 <= it["energy"].min() and it["energy"].max() <= 1.0
+
+    def test_collate_buckets(self, datamodule):
+        items = [datamodule.train_dataset.load_item(i) for i in range(4)]
+        x, y = collate(items, np.random.default_rng(0), ref_mel_len=64)
+        assert x["phoneme"].shape[1] in (32, 64)
+        assert y["mel"].shape[1] in (128, 256)
+        assert x["ref_mel"].shape == (4, 64, N_MELS)
+        # mask True at padded positions
+        for i in range(4):
+            n = x["phoneme_len"][i]
+            assert not x["phoneme_mask"][i, :n].any()
+            assert x["phoneme_mask"][i, n:].all()
+
+    def test_dataloader_yields_batches(self, datamodule):
+        batches = list(datamodule.train_dataloader())
+        assert len(batches) == 1  # 12 samples, batch 8 -> one full batch
+        x, y = batches[0]
+        assert x["phoneme"].shape[0] == 8
+
+
+class TestTrainer:
+    def test_train_steps_reduce_loss(self, datamodule):
+        cfg = tiny_cfg()
+        mesh = make_mesh(MeshConfig(data=8), devices=jax.devices()[:8])
+        tcfg = TrainerConfig(max_epochs=1, warmup_epochs=1, batch_size=8,
+                             out_folder="/tmp/zvx_test_out", seed=0)
+        trainer = Trainer(cfg, tcfg, steps_per_epoch=1, mesh=mesh)
+
+        batch = device_batch(next(iter(datamodule.train_dataloader())))
+        state = trainer.init_state(batch)
+
+        rng = jax.random.PRNGKey(0)
+        losses0 = None
+        state2 = state
+        from zerovox_tpu.parallel.mesh import shard_batch
+
+        sb = shard_batch(batch, mesh)
+        for i in range(5):
+            state2, losses = trainer._train_step(state2, sb, rng)
+            if losses0 is None:
+                losses0 = {k: float(v) for k, v in losses.items()}
+        lossN = {k: float(v) for k, v in losses.items()}
+
+        assert np.isfinite(losses0["loss"]) and np.isfinite(lossN["loss"])
+        assert lossN["loss"] < losses0["loss"]  # learning happens
+        assert int(state2.step) == 5
+
+    def test_decoder_only_freezes_encoder(self, datamodule):
+        cfg = tiny_cfg()
+        mesh = make_mesh(MeshConfig(data=8), devices=jax.devices()[:8])
+        tcfg = TrainerConfig(max_epochs=1, batch_size=8, out_folder="/tmp/zvx_test_out2",
+                             train_decoder_only=True, seed=0)
+        trainer = Trainer(cfg, tcfg, steps_per_epoch=1, mesh=mesh)
+
+        batch = device_batch(next(iter(datamodule.train_dataloader())))
+        state = trainer.init_state(batch)
+        from zerovox_tpu.parallel.mesh import shard_batch
+
+        p_enc_before = np.asarray(jax.tree.leaves(state.params["phoneme_encoder"])[0])
+        p_dec_before = np.asarray(jax.tree.leaves(state.params["mel_decoder"])[0])
+        state2, _ = trainer._train_step(state, shard_batch(batch, mesh), jax.random.PRNGKey(0))
+
+        p_enc_after = np.asarray(jax.tree.leaves(state2.params["phoneme_encoder"])[0])
+        p_dec_after = np.asarray(jax.tree.leaves(state2.params["mel_decoder"])[0])
+        np.testing.assert_array_equal(p_enc_before, p_enc_after)
+        assert np.any(p_dec_before != p_dec_after)
+
+    def test_checkpoint_roundtrip(self, tmp_path):
+        from zerovox_tpu.training.checkpointing import (
+            load_checkpoint_meta,
+            load_native_checkpoint,
+            save_native_checkpoint,
+        )
+
+        variables = {"params": {"a": np.arange(6, dtype=np.float32).reshape(2, 3)},
+                     "batch_stats": {"b": np.ones(4, np.float32)}}
+        p = tmp_path / "ck.msgpack"
+        save_native_checkpoint(p, variables, meta={"epoch": 3, "loss": 1.5})
+        loaded = load_native_checkpoint(p)
+        np.testing.assert_array_equal(loaded["params"]["a"], variables["params"]["a"])
+        meta = load_checkpoint_meta(p)
+        assert meta["epoch"] == 3
+
+
+class TestLossSemantics:
+    def test_masked_loss_matches_reference_formula(self):
+        """Verify loss vs a direct masked_select-style computation."""
+        from zerovox_tpu.models.zerovox import zerovox_loss
+
+        rng = np.random.default_rng(7)
+        B, L, T, M = 2, 6, 10, 4
+        pred = {
+            "mel": rng.normal(size=(B, T, M)).astype(np.float32),
+            "pitch": rng.normal(size=(B, L)).astype(np.float32),
+            "energy": rng.normal(size=(B, L)).astype(np.float32),
+            "log_duration": rng.normal(size=(B, L)).astype(np.float32),
+        }
+        batch = {
+            "mel": rng.normal(size=(B, T, M)).astype(np.float32),
+            "pitch": rng.normal(size=(B, L)).astype(np.float32),
+            "energy": rng.normal(size=(B, L)).astype(np.float32),
+            "duration": rng.integers(1, 5, size=(B, L)).astype(np.int32),
+            "phoneme_mask": np.asarray([[False] * 4 + [True] * 2, [False] * 6]),
+            "mel_mask": np.asarray([[False] * 7 + [True] * 3, [False] * 10]),
+        }
+        out = zerovox_loss(pred, batch)
+
+        keep_m = ~batch["mel_mask"]
+        mel_ref = np.abs(pred["mel"] - batch["mel"])[keep_m].mean()
+        keep_p = ~batch["phoneme_mask"]
+        pitch_ref = ((pred["pitch"] - batch["pitch"]) ** 2)[keep_p].mean()
+        dur_ref = ((pred["log_duration"] - np.log(batch["duration"] + 1.0)) ** 2)[keep_p].mean()
+
+        np.testing.assert_allclose(float(out["mel_loss"]), mel_ref, rtol=1e-5)
+        np.testing.assert_allclose(float(out["pitch_loss"]), pitch_ref, rtol=1e-5)
+        np.testing.assert_allclose(float(out["duration_loss"]), dur_ref, rtol=1e-5)
+        np.testing.assert_allclose(
+            float(out["loss"]),
+            10 * float(out["mel_loss"]) + 2 * float(out["pitch_loss"])
+            + 2 * float(out["energy_loss"]) + float(out["duration_loss"]),
+            rtol=1e-6,
+        )

@@ -1,0 +1,167 @@
+"""Training CLI.
+
+Surface parity with the reference trainer (utils/train_tts.py:41-310):
+collects corpus yamls (files or directories), merges per-corpus stats.json
+into global pitch/energy ranges, writes the merged `modelcfg.yaml` artifact
+(the inference contract), builds the data module + model, supports manual
+checkpoint restore for incremental training and `--train-decoder-only`
+freeze/reinit — then runs the TPU-native SPMD training loop
+(zerovox_tpu/training/trainer.py) instead of Lightning.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+from pathlib import Path
+
+import yaml
+
+from zerovox_tpu.config import ZeroVoxConfig
+from zerovox_tpu.hub import DEFAULT_MELDEC_MODEL_NAME
+from zerovox_tpu.symbols import Symbols
+
+
+def get_args(argv=None):
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--accelerator", type=str, default="tpu", choices=["tpu", "cpu"])
+    parser.add_argument("--devices", type=int, default=-1,
+                        help="number of devices for the data-parallel mesh (-1: all)")
+    parser.add_argument("--threads", type=int, default=24)
+    parser.add_argument("--precision", default="bf16-mixed",
+                        help="bf16-mixed (matmuls in bf16) or 32")
+    parser.add_argument("--num_workers", type=int, default=4)
+    parser.add_argument("-c", "--model-config", type=str, required=True,
+                        help="Path to model config.yaml")
+    parser.add_argument("corpora", type=str, nargs="+", help="Path to corpus .yamls")
+    parser.add_argument("--out-folder", default="mymodel1", type=str,
+                        help="Output folder for checkpoints, modelcfg and validation data")
+    parser.add_argument("--meldec-model", default=DEFAULT_MELDEC_MODEL_NAME, type=str)
+    parser.add_argument("--name", type=str, help="run name (optional)")
+    parser.add_argument("--checkpoint", default=None, type=str,
+                        help="Path to model checkpoint file (torch .ckpt or native .msgpack)")
+    parser.add_argument("--verbose", action="store_true")
+    parser.add_argument("--train-decoder-only", action="store_true")
+    parser.add_argument("--max-epochs", type=int, default=40)
+    parser.add_argument("--warmup-epochs", type=int, default=2)
+    parser.add_argument("--batch-size", type=int, default=24)
+    return parser.parse_args(argv)
+
+
+def collect_corpora(paths) -> list[dict]:
+    corpora = []
+    for cfgfn in paths:
+        if os.path.isdir(cfgfn):
+            for cfn in sorted(os.listdir(cfgfn)):
+                if os.path.splitext(cfn)[1] != ".yaml":
+                    continue
+                with open(os.path.join(cfgfn, cfn)) as f:
+                    corpora.append(yaml.load(f, Loader=yaml.FullLoader))
+        else:
+            with open(cfgfn) as f:
+                corpora.append(yaml.load(f, Loader=yaml.FullLoader))
+    if not corpora:
+        raise Exception("*** error: no .yaml files found!")
+    return corpora
+
+
+def merge_stats(modelcfg: dict, corpora, base_path: str) -> dict:
+    """Merge per-corpus stats.json into global min/max + langs
+    (reference utils/train_tts.py:152-177)."""
+    modelcfg["stats"] = {
+        "energy_min": sys.float_info.max,
+        "energy_max": -sys.float_info.max,
+        "pitch_min": sys.float_info.max,
+        "pitch_max": -sys.float_info.max,
+    }
+    modelcfg["lang"] = []
+    for corpus in corpora:
+        if corpus["language"] not in modelcfg["lang"]:
+            modelcfg["lang"].append(corpus["language"])
+        with open(os.path.join(base_path, corpus["path"]["preprocessed_path"], "stats.json")) as f:
+            stats = json.load(f)
+        pmin, pmax = stats["pitch"][:2]
+        emin, emax = stats["energy"][:2]
+        s = modelcfg["stats"]
+        s["pitch_min"] = min(s["pitch_min"], pmin)
+        s["pitch_max"] = max(s["pitch_max"], pmax)
+        s["energy_min"] = min(s["energy_min"], emin)
+        s["energy_max"] = max(s["energy_max"], emax)
+    return modelcfg
+
+
+def main(argv=None):
+    args = get_args(argv)
+
+    if args.accelerator == "cpu":
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
+
+    from zerovox_tpu.parallel.mesh import MeshConfig, make_mesh
+    from zerovox_tpu.training.data import SpeechDataModule
+    from zerovox_tpu.training.data import preprocessed_data_path
+    from zerovox_tpu.training.trainer import Trainer, TrainerConfig, device_batch
+
+    print("collecting .yaml files from specified paths...")
+    corpora = collect_corpora(args.corpora)
+    print(f"{len(corpora)} corpus .yaml files found.")
+
+    with open(args.model_config) as f:
+        modelcfg = yaml.load(f, Loader=yaml.FullLoader)
+    base_path = preprocessed_data_path()
+    modelcfg = merge_stats(modelcfg, corpora, base_path)
+
+    cfg = ZeroVoxConfig.from_dict(modelcfg)
+    symbols = Symbols(modelcfg["model"]["phones"], modelcfg["model"]["puncts"])
+
+    os.makedirs(args.out_folder, exist_ok=True)
+    modelcfg_path = (Path(args.out_folder) / f"modelcfg_{args.name}.yaml"
+                     if args.name else Path(args.out_folder) / "modelcfg.yaml")
+    with open(modelcfg_path, "w") as f:
+        yaml.dump(modelcfg, f, default_flow_style=False)
+
+    datamodule = SpeechDataModule(
+        corpora=corpora, symbols=symbols, stats=modelcfg["stats"],
+        num_bins=modelcfg["model"]["encoder"]["ve_n_bins"],
+        batch_size=args.batch_size, num_workers=args.num_workers * max(1, args.devices),
+    )
+    datamodule.prepare_data()
+    print(f"{len(datamodule.train_dataset)} training samples")
+
+    import jax
+
+    n_dev = args.devices if args.devices > 0 else len(jax.devices())
+    mesh = make_mesh(MeshConfig(data=n_dev), devices=jax.devices()[:n_dev])
+
+    tcfg = TrainerConfig(
+        max_epochs=args.max_epochs, warmup_epochs=args.warmup_epochs,
+        batch_size=args.batch_size, out_folder=args.out_folder, name=args.name,
+        train_decoder_only=args.train_decoder_only,
+    )
+    trainer = Trainer(cfg, tcfg, steps_per_epoch=datamodule.steps_per_epoch(), mesh=mesh)
+
+    example = device_batch(next(iter(datamodule.train_dataloader())))
+    state = trainer.init_state(example)
+
+    if args.checkpoint:
+        print(f"incremental training mode: restoring model weights from {args.checkpoint}")
+        if str(args.checkpoint).endswith(".msgpack"):
+            from zerovox_tpu.training.checkpointing import load_native_checkpoint
+
+            variables = load_native_checkpoint(args.checkpoint)
+        else:
+            from zerovox_tpu.checkpoint import load_zerovox_checkpoint
+
+            variables = load_zerovox_checkpoint(args.checkpoint, cfg)
+            variables.pop("meldec_state_dict", None)
+        state = trainer.restore_into(state, variables,
+                                     reinit_decoder=args.train_decoder_only)
+
+    trainer.fit(datamodule.train_dataloader, state)
+
+
+if __name__ == "__main__":
+    main()

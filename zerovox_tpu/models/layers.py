@@ -18,11 +18,16 @@ import numpy as np
 
 
 def torch_std(x: jnp.ndarray, axis: int = -1, keepdims: bool = True) -> jnp.ndarray:
-    """torch.std with Bessel correction (unbiased, n-1 denominator)."""
+    """torch.std with Bessel correction (unbiased, n-1 denominator).
+
+    A tiny epsilon inside the sqrt (forward error < 1e-6, far below parity
+    tolerance) keeps the gradient finite on zero-variance rows — e.g. fully
+    padded frames — where d sqrt(0) would otherwise be inf and poison masked
+    positions with 0*inf = NaN."""
     n = x.shape[axis]
     mu = jnp.mean(x, axis=axis, keepdims=True)
     var = jnp.sum((x - mu) ** 2, axis=axis, keepdims=keepdims) / max(n - 1, 1)
-    return jnp.sqrt(var)
+    return jnp.sqrt(var + 1e-12)
 
 
 class Conv1d(nn.Module):

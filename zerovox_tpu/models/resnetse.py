@@ -30,7 +30,7 @@ class SELayer(nn.Module):
     @nn.compact
     def __call__(self, x):  # x: [B, H, W, C]
         y = jnp.mean(x, axis=(1, 2))  # global average pool
-        y = nn.Dense(self.channels // self.reduction, name="fc1")(y)
+        y = nn.Dense(max(1, self.channels // self.reduction), name="fc1")(y)
         y = jax.nn.relu(y)
         y = nn.Dense(self.channels, name="fc2")(y)
         y = jax.nn.sigmoid(y)

@@ -84,11 +84,17 @@ class ZeroVox(nn.Module):
     # -------------------------------------------------------------- training
 
     def __call__(self, batch: dict[str, Any], train: bool = True,
-                 force_duration: bool = False):
+                 force_duration: bool = False, spkemb_train: bool | None = None):
         """Training/teacher forward (reference model.py:260-293). `batch` uses
         the reference's collate contract: phoneme, puncts, phoneme_mask,
-        pitch, energy, duration, mel_mask, ref_mel."""
-        style_embed = self.spkemb(batch["ref_mel"], train=False)
+        pitch, energy, duration, mel_mask, ref_mel. `spkemb_train=False` keeps
+        the speaker encoder's BatchNorms in eval mode (decoder-only finetune,
+        reference utils/train_tts.py:275-276)."""
+        # spkemb trains with the rest of the model (reference model.py:263);
+        # in train mode its BatchNorms use batch statistics and update the
+        # running averages (callers pass mutable=["batch_stats"]).
+        spk_train = train if spkemb_train is None else (train and spkemb_train)
+        style_embed = self.spkemb(batch["ref_mel"], train=spk_train)
 
         max_mel_len = batch["mel_mask"].shape[1]
         use_teacher = train or force_duration
@@ -117,7 +123,7 @@ class ZeroVox(nn.Module):
 
 def masked_mean(values: jnp.ndarray, keep: jnp.ndarray) -> jnp.ndarray:
     """Mean over elements where `keep` is True (masked_select semantics)."""
-    keep = keep.astype(values.dtype)
+    keep = jnp.broadcast_to(keep, values.shape).astype(values.dtype)
     return jnp.sum(values * keep) / jnp.maximum(jnp.sum(keep), 1.0)
 
 

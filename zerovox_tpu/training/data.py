@@ -1,0 +1,262 @@
+"""Training data pipeline.
+
+On-disk contract identical to the reference preprocessor's output
+(reference zerovox/tts/data.py:128-225): per-corpus `train.txt` metadata
+(`wav|phones|puncts|text` pipe format), per-utterance
+`mel-/pitch-/energy-/duration-*.npy` + `startstop-*.json` feature files, and
+`stats.json` corpus pitch/energy ranges; items with missing duration files are
+skipped. Pitch/energy are log-min-max normalized to [0,1] with the merged
+corpus stats (data.py:177-183).
+
+TPU-first differences from the reference's DataLoader/collate
+(data.py:43-125):
+
+  * batches pad phoneme/mel lengths up to static **buckets**, so every batch
+    shape hits a cached XLA program (no per-batch recompiles);
+  * the zero-shot reference mel is a *fixed-length* random crop
+    (`ref_mel_len`, default 500 = the reference's MAX_REF_LEN cap,
+    data.py:28); utterances shorter than the crop are tiled (wrapped) rather
+    than letting the crop length float with the batch minimum — keeping the
+    speaker-encoder program static while preserving the "crop of the item's
+    own target mel" training signal (data.py:72-79);
+  * loading + collation runs in a background thread pool with prefetch,
+    feeding `jax.device_put` (SURVEY.md §2.3 multiprocess row).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import queue
+import threading
+from dataclasses import dataclass
+
+import numpy as np
+
+from zerovox_tpu.symbols import Symbols
+
+MAX_REF_LEN = 500
+
+PHONEME_BUCKETS = (32, 64, 96, 128, 192, 256, 384, 512)
+MEL_BUCKETS = (128, 256, 384, 512, 768, 1024, 1280, 1536, 1792)
+
+
+def preprocessed_data_path() -> str:
+    p = os.environ.get("ZEROVOX_PREPROCESSED_DATA_PATH", "")
+    if not p:
+        raise Exception("ZEROVOX_PREPROCESSED_DATA_PATH env var is not set")
+    return p
+
+
+def _bucket(n: int, buckets) -> int:
+    for b in buckets:
+        if b >= n:
+            return b
+    return buckets[-1]
+
+
+@dataclass
+class Sample:
+    preprocessed_path: str
+    filename: str
+    phonemes: list
+    puncts: list
+    transcript: str
+
+
+class SpeechDataset:
+    """Metadata index + per-item feature loading."""
+
+    def __init__(self, filename: str, corpora, symbols: Symbols, stats: dict,
+                 base_path: str | None = None):
+        self._symbols = symbols
+        self._stats = stats
+        self.samples: list[Sample] = []
+
+        base = base_path if base_path is not None else preprocessed_data_path()
+        for corpus in corpora:
+            pp = os.path.join(base, corpus["path"]["preprocessed_path"])
+            meta = os.path.join(pp, filename)
+            if not os.path.exists(meta):
+                continue
+            with open(meta, encoding="utf-8") as f:
+                for line in f:
+                    wav, phones, puncts, transcript = line.strip("\n").split("|")
+                    basename = os.path.splitext(wav)[0]
+                    dur_path = os.path.join(pp, "duration", f"duration-{basename}.npy")
+                    if not os.path.exists(dur_path):
+                        print(f"{dur_path} missing -> skipping sample")
+                        continue
+                    self.samples.append(Sample(
+                        preprocessed_path=pp,
+                        filename=wav,
+                        phonemes=[int(p) for p in phones.split(",")],
+                        puncts=[int(p) for p in puncts.split(",")],
+                        transcript=transcript,
+                    ))
+
+    def __len__(self) -> int:
+        return len(self.samples)
+
+    def load_item(self, idx: int) -> dict:
+        s = self.samples[idx]
+        basename = os.path.splitext(s.filename)[0]
+        pp = s.preprocessed_path
+
+        mel = np.load(os.path.join(pp, "mel", f"mel-{basename}.npy")).astype(np.float32)
+        with open(os.path.join(pp, "mel", f"startstop-{basename}.json")) as f:
+            d = json.load(f)
+
+        pitch = np.load(os.path.join(pp, "pitch", f"pitch-{basename}.npy")).astype(np.float32)
+        energy = np.load(os.path.join(pp, "energy", f"energy-{basename}.npy")).astype(np.float32)
+        duration = np.load(os.path.join(pp, "duration", f"duration-{basename}.npy")).astype(np.int32)
+
+        st = self._stats
+        pitch = np.log(pitch - (st["pitch_min"] - 1.0))
+        pitch = pitch / np.log(st["pitch_max"] - st["pitch_min"] + 1.0)
+        energy = np.log(energy - (st["energy_min"] - 1.0))
+        energy = energy / np.log(st["energy_max"] - st["energy_min"] + 1.0)
+
+        return {
+            "phoneme": np.asarray(s.phonemes, np.int32),
+            "puncts": np.asarray(s.puncts, np.int32),
+            "text": s.transcript,
+            "pitch": pitch.astype(np.float32),
+            "energy": energy.astype(np.float32),
+            "duration": duration,
+            "mel": mel,
+            "basename": basename,
+            "preprocessed_path": pp,
+            "start_hop": d["start_hop"],
+            "end_hop": d["end_hop"],
+        }
+
+
+def collate(items: list[dict], rng: np.random.Generator,
+            ref_mel_len: int = MAX_REF_LEN,
+            phoneme_buckets=PHONEME_BUCKETS, mel_buckets=MEL_BUCKETS) -> tuple[dict, dict]:
+    """Pad a list of items into one statically-bucketed batch (x, y)."""
+    B = len(items)
+    phoneme_lens = np.asarray([len(it["phoneme"]) for it in items], np.int32)
+    mel_lens = np.asarray([it["mel"].shape[0] for it in items], np.int32)
+
+    L = _bucket(int(phoneme_lens.max()), phoneme_buckets)
+    T = _bucket(int(mel_lens.max()), mel_buckets)
+    n_mels = items[0]["mel"].shape[1]
+
+    phonemes = np.zeros((B, L), np.int32)
+    puncts = np.zeros((B, L), np.int32)
+    pitch = np.zeros((B, L), np.float32)
+    energy = np.zeros((B, L), np.float32)
+    duration = np.zeros((B, L), np.int32)
+    mels = np.zeros((B, T, n_mels), np.float32)
+    ref_mels = np.zeros((B, ref_mel_len, n_mels), np.float32)
+
+    for i, it in enumerate(items):
+        n, t = phoneme_lens[i], mel_lens[i]
+        phonemes[i, :n] = it["phoneme"]
+        puncts[i, :n] = it["puncts"]
+        pitch[i, :n] = it["pitch"][:n]
+        energy[i, :n] = it["energy"][:n]
+        duration[i, :n] = it["duration"][:n]
+        mels[i, :t] = it["mel"]
+
+        # fixed-length zero-shot reference crop of the item's own mel
+        if t >= ref_mel_len:
+            off = rng.integers(0, t - ref_mel_len + 1)
+            ref_mels[i] = it["mel"][off : off + ref_mel_len]
+        else:
+            reps = int(np.ceil(ref_mel_len / t))
+            ref_mels[i] = np.tile(it["mel"], (reps, 1))[:ref_mel_len]
+
+    phoneme_mask = np.arange(L)[None, :] >= phoneme_lens[:, None]
+    mel_mask = np.arange(T)[None, :] >= mel_lens[:, None]
+
+    x = {
+        "phoneme": phonemes,
+        "puncts": puncts,
+        "phoneme_len": phoneme_lens,
+        "phoneme_mask": phoneme_mask,
+        "text": [it["text"] for it in items],
+        "mel_len": mel_lens,
+        "mel_mask": mel_mask,
+        "pitch": pitch,
+        "energy": energy,
+        "duration": duration,
+        "ref_mel": ref_mels,
+        "basenames": [it["basename"] for it in items],
+        "preprocessed_paths": [it["preprocessed_path"] for it in items],
+        "starts": [it["start_hop"] for it in items],
+        "ends": [it["end_hop"] for it in items],
+    }
+    y = {"mel": mels}
+    return x, y
+
+
+class SpeechDataModule:
+    """Shuffled, length-bucketed, prefetching batch iterator."""
+
+    def __init__(self, corpora, symbols: Symbols, stats: dict, num_bins: int = 256,
+                 batch_size: int = 64, num_workers: int = 4, seed: int = 0,
+                 ref_mel_len: int = MAX_REF_LEN, base_path: str | None = None):
+        self.corpora = corpora
+        self._symbols = symbols
+        self._stats = stats
+        self.batch_size = batch_size
+        self.num_workers = max(1, num_workers)
+        self._rng = np.random.default_rng(seed)
+        self._ref_mel_len = ref_mel_len
+        self._base_path = base_path
+        self.train_dataset: SpeechDataset | None = None
+
+    def prepare_data(self):
+        self.train_dataset = SpeechDataset("train.txt", self.corpora, self._symbols,
+                                           self._stats, base_path=self._base_path)
+
+    def steps_per_epoch(self) -> int:
+        assert self.train_dataset is not None
+        return max(1, len(self.train_dataset) // self.batch_size)
+
+    def _batch_indices(self):
+        """Shuffle, then group size-adjacent items so bucket padding is tight."""
+        ds = self.train_dataset
+        idx = self._rng.permutation(len(ds))
+        # coarse length-sort within shuffled chunks keeps batches length-homogeneous
+        chunk = self.batch_size * 32
+        batches = []
+        for c0 in range(0, len(idx), chunk):
+            part = idx[c0 : c0 + chunk]
+            lens = np.asarray([len(ds.samples[i].phonemes) for i in part])
+            part = part[np.argsort(lens, kind="stable")]
+            for b0 in range(0, len(part) - self.batch_size + 1, self.batch_size):
+                batches.append(part[b0 : b0 + self.batch_size])
+        self._rng.shuffle(batches)
+        return batches
+
+    def train_dataloader(self):
+        """Generator of (x, y) host batches with threaded prefetch."""
+        assert self.train_dataset is not None, "call prepare_data() first"
+        ds = self.train_dataset
+        batches = self._batch_indices()
+        q: queue.Queue = queue.Queue(maxsize=self.num_workers * 2)
+        stop = object()
+
+        def worker(batch_list):
+            for bidx in batch_list:
+                items = [ds.load_item(int(i)) for i in bidx]
+                q.put(collate(items, self._rng, ref_mel_len=self._ref_mel_len))
+            q.put(stop)
+
+        n_workers = min(self.num_workers, max(1, len(batches)))
+        shards = [batches[i::n_workers] for i in range(n_workers)]
+        threads = [threading.Thread(target=worker, args=(s,), daemon=True) for s in shards]
+        for t in threads:
+            t.start()
+
+        done = 0
+        while done < n_workers:
+            item = q.get()
+            if item is stop:
+                done += 1
+                continue
+            yield item
