@@ -1,0 +1,75 @@
+"""Benchmark harness: RTF + first-chunk latency on the current JAX device.
+
+Methodology mirrors the reference's only perf harness (zerovox/demo.py:100-138):
+synthesize one text repeatedly, RTF averaged after a 10-iteration warmup —
+reported here as synth_time/voice_len (BASELINE.md convention: target <= 0.05
+on one TPU v5e chip). Also measures p50 first-chunk latency of the streaming
+path (target < 100 ms). Weights are random (no pretrained artifacts in this
+environment); compute cost is identical to trained weights.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+import time
+
+import numpy as np
+
+BASELINE_RTF = 0.05  # BASELINE.md target
+
+TEXT = ("The quick brown fox jumps over the lazy dog while the curious cat "
+        "watches from a sunny windowsill in the early morning light.")
+
+
+def main():
+    from zerovox_tpu.synthesize import ZeroVoxTTS
+
+    synth = ZeroVoxTTS.from_random(seed=0)
+    sr = synth.cfg.audio.sampling_rate
+
+    refwav = np.random.default_rng(0).normal(size=2 * sr).astype(np.float32) * 0.1
+    spkemb = synth.speaker_embed(refwav)
+
+    # ---- RTF (reference demo.py methodology) ----
+    iters, warmup = 25, 10
+    rtfs = []
+    wav = None
+    for i in range(iters):
+        t0 = time.perf_counter()
+        wav, _, _ = synth.tts(TEXT, spkemb)
+        elapsed = time.perf_counter() - t0
+        voice_len = wav.shape[0] / sr
+        if i > warmup:
+            rtfs.append(elapsed / voice_len)
+    rtf = float(np.mean(rtfs))
+
+    # ---- p50 first-chunk latency (streaming) ----
+    lat = []
+    for i in range(15):
+        t0 = time.perf_counter()
+        gen = synth.tts_stream(TEXT, spkemb)
+        next(gen)
+        lat.append(time.perf_counter() - t0)
+        for _ in gen:
+            pass
+    lat_sorted = sorted(lat[5:])  # drop warmup
+    p50_ms = 1000.0 * lat_sorted[len(lat_sorted) // 2]
+
+    print(f"voice_len={wav.shape[0] / sr:.2f}s rtf={rtf:.4f} "
+          f"(x{1 / max(rtf, 1e-9):.1f} realtime) first_chunk_p50={p50_ms:.1f}ms",
+          file=sys.stderr)
+
+    print(json.dumps({
+        "metric": "single-chip synthesis RTF (synth_time/voice_len, tts_medium config)",
+        "value": round(rtf, 5),
+        "unit": "ratio (lower is better; baseline target 0.05)",
+        "vs_baseline": round(BASELINE_RTF / max(rtf, 1e-9), 3),
+        "first_chunk_p50_ms": round(p50_ms, 1),
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,122 @@
+"""Alignment acoustic models: per-frame CTC emissions over the romanized
+character alphabet.
+
+The reference uses torchaudio's MMS_FA bundle (a wav2vec2 CTC model at 16 kHz,
+hop 320; utils/preprocess.py:333-342). This module defines the same contract
+as a pluggable interface:
+
+  * ``Wav2Vec2Aligner`` — loads any HF wav2vec2-CTC checkpoint (e.g. a local
+    download of MMS-FA) through `transformers` and runs emissions in JAX via
+    torch (CPU) or the HF flax port when available. Gated: only constructed
+    when the checkpoint is resolvable.
+  * ``EnergyPseudoAligner`` — a dependency-free fallback that fabricates
+    emissions from signal energy so the *full preprocessing pipeline*
+    (normalize -> align -> durations/puncts -> features) runs end-to-end in
+    offline environments and tests. Alignments are energy-uniform, not
+    phonetic — fine for pipeline validation, not for production corpora.
+
+Both expose: labels (index -> char), dictionary (char -> index),
+sample_rate, hop_size, and ``emissions(batch_wavs) -> [B, T, C] log-probs``.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+# MMS_FA-style labels: blank then the uroman alphabet (star omitted, as the
+# reference loads the bundle with_star=False / star=None)
+DEFAULT_LABELS = ("-",) + tuple("abcdefghijklmnopqrstuvwxyz") + ("'",)
+
+
+class AlignerBase:
+    sample_rate: int = 16000
+    hop_size: int = 320
+
+    def __init__(self, labels=DEFAULT_LABELS):
+        self.labels = tuple(labels)
+        self.dictionary = {c: i for i, c in enumerate(self.labels)}
+        self.blank = 0
+
+    def emissions(self, wav_batch: np.ndarray) -> np.ndarray:
+        raise NotImplementedError
+
+
+class EnergyPseudoAligner(AlignerBase):
+    """Fallback emissions: voiced frames spread probability uniformly over the
+    transcript's characters in order via a soft monotonic ramp; silent frames
+    prefer blank. Produces plausible monotonic alignments for pipeline tests."""
+
+    def __init__(self, labels=DEFAULT_LABELS):
+        super().__init__(labels)
+        self._transcripts: list[str] | None = None
+
+    def set_transcripts(self, transcripts: list[str]):
+        """The pseudo aligner needs the targets to fabricate emissions."""
+        self._transcripts = [t.replace(" ", "") for t in transcripts]
+
+    def emissions(self, wav_batch: np.ndarray) -> np.ndarray:
+        B, n = wav_batch.shape
+        T = n // self.hop_size
+        C = len(self.labels)
+        out = np.full((B, T, C), -12.0, dtype=np.float32)
+
+        for b in range(B):
+            wav = wav_batch[b]
+            frames = wav[: T * self.hop_size].reshape(T, self.hop_size)
+            energy = np.sqrt((frames**2).mean(axis=1))
+            active = energy > max(1e-4, 0.05 * energy.max() if energy.max() > 0 else 1)
+
+            tchars = self._transcripts[b] if self._transcripts else ""
+            n_act = int(active.sum())
+            if tchars and n_act > 0:
+                # map active frames onto transcript positions monotonically
+                act_idx = np.flatnonzero(active)
+                pos = np.minimum((np.arange(n_act) * len(tchars)) // n_act, len(tchars) - 1)
+                for f, p in zip(act_idx, pos):
+                    c = self.dictionary.get(tchars[p], self.blank)
+                    out[b, f, c] = -0.05
+                out[b, ~active, self.blank] = -0.05
+            else:
+                out[b, :, self.blank] = -0.05
+
+        # normalize to log-probabilities
+        out = out - np.log(np.exp(out).sum(axis=-1, keepdims=True))
+        return out
+
+
+class Wav2Vec2Aligner(AlignerBase):  # pragma: no cover - needs local weights
+    """HF wav2vec2-CTC emissions (e.g. MMS-FA) via transformers (torch CPU)."""
+
+    def __init__(self, model_name_or_path: str, labels=None):
+        import torch
+        from transformers import AutoProcessor, Wav2Vec2ForCTC
+
+        self._torch = torch
+        self.model = Wav2Vec2ForCTC.from_pretrained(model_name_or_path)
+        self.model.eval()
+        try:
+            processor = AutoProcessor.from_pretrained(model_name_or_path)
+            vocab = processor.tokenizer.get_vocab()
+            inv = {v: k for k, v in vocab.items()}
+            labels = labels or tuple(inv[i] for i in range(len(inv)))
+        except Exception:
+            labels = labels or DEFAULT_LABELS
+        super().__init__(labels)
+
+    def emissions(self, wav_batch: np.ndarray) -> np.ndarray:
+        torch = self._torch
+        with torch.inference_mode():
+            logits = self.model(torch.from_numpy(wav_batch.astype(np.float32))).logits
+            return torch.log_softmax(logits, dim=-1).numpy()
+
+
+def make_aligner(spec: str | None = None) -> AlignerBase:
+    """Resolve an aligner: a HF checkpoint path/name, or the pseudo fallback
+    ('pseudo' / unset / unresolvable)."""
+    if spec and spec != "pseudo":
+        try:
+            return Wav2Vec2Aligner(spec)
+        except Exception as e:
+            print(f"warning: could not load aligner '{spec}' ({e}); "
+                  f"falling back to EnergyPseudoAligner")
+    return EnergyPseudoAligner()
