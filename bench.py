@@ -25,6 +25,10 @@ TEXT = ("The quick brown fox jumps over the lazy dog while the curious cat "
 
 
 def main():
+    from zerovox_tpu.utils.compile_cache import enable_compile_cache
+
+    enable_compile_cache()
+
     from zerovox_tpu.synthesize import ZeroVoxTTS
 
     synth = ZeroVoxTTS.from_random(seed=0)
@@ -33,13 +37,19 @@ def main():
     refwav = np.random.default_rng(0).normal(size=2 * sr).astype(np.float32) * 0.1
     spkemb = synth.speaker_embed(refwav)
 
+    # Random weights predict near-zero durations; force realistic per-phone
+    # durations (~70 ms/phone) so the measured programs process a real
+    # utterance length. Compute cost is duration-driven, not weight-driven.
+    n_phones = len(synth.text2phonemeids(TEXT)[0])
+    duration = np.full(n_phones, 6, dtype=np.int32)
+
     # ---- RTF (reference demo.py methodology) ----
     iters, warmup = 25, 10
     rtfs = []
     wav = None
     for i in range(iters):
         t0 = time.perf_counter()
-        wav, _, _ = synth.tts(TEXT, spkemb)
+        wav, _, _, _ = synth.tts_ex(TEXT, spkemb, duration=duration)
         elapsed = time.perf_counter() - t0
         voice_len = wav.shape[0] / sr
         if i > warmup:
@@ -50,7 +60,7 @@ def main():
     lat = []
     for i in range(15):
         t0 = time.perf_counter()
-        gen = synth.tts_stream(TEXT, spkemb)
+        gen = synth.tts_stream(TEXT, spkemb, duration=duration)
         next(gen)
         lat.append(time.perf_counter() - t0)
         for _ in gen:

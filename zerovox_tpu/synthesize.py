@@ -78,10 +78,13 @@ class ZeroVoxTTS:
         self._normalizer = ZeroVoxNormalizer(language or cfg.langs[0])
 
         self._model = ZeroVox(cfg)
-        self._variables = variables
         self._meldec = MelDec(meldec_cfg)
         self._meldec_cfg = meldec_cfg
-        self._meldec_variables = meldec_variables
+        # Pin weights on the accelerator once — host-resident (numpy) params
+        # would otherwise re-upload on every jitted call, which dominates
+        # latency on remote/tunneled TPU backends.
+        self._variables = jax.device_put(variables)
+        self._meldec_variables = jax.device_put(meldec_variables)
 
         a = cfg.audio
         self._hop_length = a.hop_size
@@ -273,7 +276,7 @@ class ZeroVoxTTS:
         wav, phoneme, length, _ = self.tts_ex(text=text, spkemb=spkemb)
         return wav, phoneme, length
 
-    def tts_stream(self, text: str, spkemb, chunk_frames: int = 96):
+    def tts_stream(self, text: str, spkemb, chunk_frames: int = 96, duration=None):
         """Streaming synthesis: yields waveform chunks as they are vocoded.
         First audio is available after one decoder pass + one chunk vocode
         instead of the full utterance (see zerovox_tpu/streaming.py)."""
@@ -283,8 +286,11 @@ class ZeroVoxTTS:
         if not phone_ids:
             return
 
-        phonemes, puncts, mask, _ = self._prepare_inputs(phone_ids, punct_ids)
-        enc = self._jit_encode(self._variables, phonemes, puncts, mask, spkemb)
+        phonemes, puncts, mask, dur = self._prepare_inputs(phone_ids, punct_ids, duration)
+        if dur is not None:
+            enc = self._jit_encode_forced(self._variables, phonemes, puncts, mask, spkemb, dur)
+        else:
+            enc = self._jit_encode(self._variables, phonemes, puncts, mask, spkemb)
         mel_len = int(jnp.sum(enc["duration_rounded"]))
         mel_len = max(min(mel_len, self.cfg.model.max_mel_len), 1)
         T = pick_bucket(mel_len, MEL_BUCKETS)
@@ -420,10 +426,14 @@ class ZeroVoxTTS:
             "mel_mask": jnp.zeros((1, 16), bool),
             "ref_mel": jnp.zeros((1, 32, cfg.audio.num_mels)),
         }
-        variables = model.init({"params": key}, batch, train=False)
-
-        meldec = MelDec(meldec_cfg)
-        mdvars = meldec.init(jax.random.PRNGKey(seed + 1),
-                             jnp.zeros((1, 16, meldec_cfg.num_mels)), normalize_before=True)
-        return cls(cfg, jax.tree.map(np.asarray, variables), meldec_cfg,
-                   jax.tree.map(np.asarray, mdvars), language=language, verbose=verbose)
+        # initialize on CPU — a remote TPU would otherwise compile the whole
+        # init forward just to draw random weights
+        cpu = jax.local_devices(backend="cpu")[0]
+        with jax.default_device(cpu):
+            variables = model.init({"params": key}, batch, train=False)
+            meldec = MelDec(meldec_cfg)
+            mdvars = meldec.init(jax.random.PRNGKey(seed + 1),
+                                 jnp.zeros((1, 16, meldec_cfg.num_mels)),
+                                 normalize_before=True)
+        return cls(cfg, variables, meldec_cfg, mdvars,
+                   language=language, verbose=verbose)
