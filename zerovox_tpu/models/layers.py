@@ -30,12 +30,39 @@ def torch_std(x: jnp.ndarray, axis: int = -1, keepdims: bool = True) -> jnp.ndar
     return jnp.sqrt(var + 1e-12)
 
 
+def conv1d_im2col(x, kernel, stride=1, padding=0, dilation=1):
+    """1-D conv as tap-gather + single MXU matmul.
+
+    XLA's native 1-D convolution lowers poorly on some TPU backends for the
+    shapes this model uses (small batch, short length, wide channels) —
+    measured ~1000x slower than the equivalent matmul. The kernel width is a
+    small static constant, so unrolling into k strided slices and one
+    (T, k*Cin) x (k*Cin, Cout) dot keeps the FLOPs on the systolic array.
+    """
+    k = kernel.shape[0]
+    if padding:
+        x = jnp.pad(x, ((0, 0), (padding, padding), (0, 0)))
+    T_pad = x.shape[1]
+    eff_k = (k - 1) * dilation + 1
+    T_out = (T_pad - eff_k) // stride + 1
+
+    taps = [
+        jax.lax.slice_in_dim(x, i * dilation, i * dilation + (T_out - 1) * stride + 1, stride, axis=1)
+        for i in range(k)
+    ]
+    patches = jnp.stack(taps, axis=2)  # [B, T_out, k, Cin]
+    return jnp.einsum("btkc,kco->bto", patches, kernel,
+                      preferred_element_type=jnp.float32)
+
+
 class Conv1d(nn.Module):
     """1-D convolution over [B, L, C_in] -> [B, L_out, C_out].
 
     Torch Conv1d semantics: cross-correlation, symmetric zero padding of
     `padding` samples, optional dilation/stride/groups. Kernel stored as
-    (width, in_per_group, out) — the HIO layout lax expects.
+    (width, in_per_group, out). Grouped convs (only the GAN discriminators
+    use them) go through lax.conv; everything else uses the im2col matmul
+    formulation (see conv1d_im2col).
     """
 
     features: int
@@ -55,15 +82,18 @@ class Conv1d(nn.Module):
             nn.initializers.lecun_normal(),
             (self.kernel_size, in_ch // self.groups, self.features),
         )
-        y = jax.lax.conv_general_dilated(
-            x.astype(self.dtype or x.dtype),
-            kernel.astype(self.dtype or kernel.dtype),
-            window_strides=(self.stride,),
-            padding=[(self.padding, self.padding)],
-            rhs_dilation=(self.dilation,),
-            feature_group_count=self.groups,
-            dimension_numbers=("NHC", "HIO", "NHC"),
-        )
+        if self.groups == 1:
+            y = conv1d_im2col(x, kernel, self.stride, self.padding, self.dilation)
+        else:
+            y = jax.lax.conv_general_dilated(
+                x,
+                kernel,
+                window_strides=(self.stride,),
+                padding=[(self.padding, self.padding)],
+                rhs_dilation=(self.dilation,),
+                feature_group_count=self.groups,
+                dimension_numbers=("NHC", "HIO", "NHC"),
+            )
         if self.use_bias:
             bias = self.param("bias", nn.initializers.zeros, (self.features,))
             y = y + bias
@@ -94,19 +124,67 @@ class ConvTranspose1d(nn.Module):
             nn.initializers.lecun_normal(),
             (self.kernel_size, in_ch, self.features),
         )
-        pad = self.kernel_size - 1 - self.padding
-        y = jax.lax.conv_general_dilated(
-            x,
-            kernel,
-            window_strides=(1,),
-            padding=[(pad, pad)],
-            lhs_dilation=(self.stride,),
-            dimension_numbers=("NHC", "HIO", "NHC"),
-        )
+        y = conv_transpose1d_subpixel(x, kernel, self.stride, self.padding)
         if self.use_bias:
             bias = self.param("bias", nn.initializers.zeros, (self.features,))
             y = y + bias
         return y
+
+
+def conv_transpose1d_subpixel(x, kernel, stride: int, padding: int):
+    """Transposed conv as per-phase tap matmuls + interleave (subpixel view).
+
+    Equivalent to the input-dilated conv formulation (y[t] = sum_w K[w] *
+    x[(t + w - (k-1-p)) / s] over divisible indices) but with the zero
+    multiplications removed and every contraction expressed as an MXU matmul:
+    output phase q (t = m*s + q) only receives kernel taps w == (k-1-p-q) mod
+    s, i.e. ceil(k/s) taps per phase, gathered as static slices of the padded
+    input and contracted in one einsum per phase; phases interleave by
+    reshape. Matches torch ConvTranspose1d exactly (same flipped (k, Cin,
+    Cout) kernel layout as the dilated formulation).
+    """
+    B, T, Cin = x.shape
+    k, _, Cout = kernel.shape
+    s = stride
+    if s == 1:
+        return conv1d_im2col(x, kernel, 1, k - 1 - padding, 1)
+
+    pad0 = k - 1 - padding
+    T_out = (T - 1) * s + k - 2 * padding
+    M = (T_out + s - 1) // s
+
+    # per-phase tap sets and input offsets
+    phase_plan = []
+    lo, hi = 0, T - 1
+    for q in range(s):
+        w0 = (pad0 - q) % s
+        c = (q + w0 - pad0) // s
+        taps = list(range(w0, k, s))
+        offs = [c + u for u in range(len(taps))]
+        if offs:
+            lo = min(lo, min(offs))
+            hi = max(hi, (M - 1) + max(offs))
+        phase_plan.append((taps, offs))
+
+    pad_left = max(0, -lo)
+    pad_right = max(0, hi - (T - 1))
+    xp = jnp.pad(x, ((0, 0), (pad_left, pad_right), (0, 0)))
+
+    phases = []
+    for taps, offs in phase_plan:
+        if not taps:
+            phases.append(jnp.zeros((B, M, Cout), x.dtype))
+            continue
+        patches = jnp.stack(
+            [jax.lax.slice_in_dim(xp, pad_left + o, pad_left + o + M, 1, axis=1) for o in offs],
+            axis=2,
+        )  # [B, M, U, Cin]
+        kq = kernel[jnp.array(taps)]  # [U, Cin, Cout]
+        phases.append(jnp.einsum("bmuc,uco->bmo", patches, kq,
+                                 preferred_element_type=jnp.float32))
+
+    y = jnp.stack(phases, axis=2).reshape(B, M * s, Cout)
+    return y[:, :T_out, :]
 
 
 class InstanceNorm(nn.Module):
@@ -235,15 +313,18 @@ class WeightNormConv1d(nn.Module):
         # norm over (width, in) per output channel
         norm = jnp.sqrt(jnp.sum(v**2, axis=(0, 1), keepdims=True) + 1e-12)
         kernel = v * (g[None, None, :] / norm)
-        y = jax.lax.conv_general_dilated(
-            x,
-            kernel,
-            window_strides=(self.stride,),
-            padding=[(self.padding, self.padding)],
-            rhs_dilation=(self.dilation,),
-            feature_group_count=self.groups,
-            dimension_numbers=("NHC", "HIO", "NHC"),
-        )
+        if self.groups == 1:
+            y = conv1d_im2col(x, kernel, self.stride, self.padding, self.dilation)
+        else:
+            y = jax.lax.conv_general_dilated(
+                x,
+                kernel,
+                window_strides=(self.stride,),
+                padding=[(self.padding, self.padding)],
+                rhs_dilation=(self.dilation,),
+                feature_group_count=self.groups,
+                dimension_numbers=("NHC", "HIO", "NHC"),
+            )
         if self.use_bias:
             y = y + self.param("bias", nn.initializers.zeros, (self.features,))
         return y

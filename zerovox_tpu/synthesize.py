@@ -214,8 +214,10 @@ class ZeroVoxTTS:
             dur[0, :n] = duration[:n]
         return phonemes, puncts, mask, dur
 
-    def _synthesize(self, phone_ids, punct_ids, spkemb, duration=None, timer: StageTimer | None = None):
-        """Returns (wav [N], mel_len int, log_duration, mel [n_mels, mel_len])."""
+    def _synthesize(self, phone_ids, punct_ids, spkemb, duration=None,
+                    timer: StageTimer | None = None, want_mel: bool = True):
+        """Returns (wav [N], mel_len int, log_duration, mel [n_mels, mel_len]
+        or None when want_mel=False — skipping the mel device->host fetch)."""
         phonemes, puncts, mask, dur = self._prepare_inputs(phone_ids, punct_ids, duration)
 
         if dur is not None:
@@ -238,15 +240,14 @@ class ZeroVoxTTS:
             timer.mark("dec")
 
         wav = self._jit_vocode(self._meldec_variables, mel)
-        wav.block_until_ready()
+        wav_np = np.asarray(wav)[0, : mel_len * self._hop_length]
         if timer:
             timer.mark("meldec")
 
-        wav_np = np.asarray(wav[0, : mel_len * self._hop_length])
-        mel_np = np.asarray(mel[0, :mel_len, :]).T
+        mel_np = np.asarray(mel)[0, :mel_len, :].T if want_mel else None
         return wav_np, mel_len, enc["log_duration"], mel_np
 
-    def tts_ex(self, text: str, spkemb, duration=None):
+    def tts_ex(self, text: str, spkemb, duration=None, want_mel: bool = True):
         """(reference zerovox/tts/synthesize.py:213-239)."""
         text = text.strip()
 
@@ -262,7 +263,8 @@ class ZeroVoxTTS:
         timer = StageTimer() if self._verbose else None
         tstart_synth = time.time()
         wav, length, _, mel = self._synthesize(phone_ids, punct_ids, spkemb,
-                                               duration=duration, timer=timer)
+                                               duration=duration, timer=timer,
+                                               want_mel=want_mel)
         tend_synth = time.time()
 
         if self._verbose:
@@ -272,8 +274,9 @@ class ZeroVoxTTS:
         phoneme = np.array([phone_ids], dtype=np.int32)
         return wav, phoneme, length, mel
 
-    def tts(self, text: str, spkemb):
-        wav, phoneme, length, _ = self.tts_ex(text=text, spkemb=spkemb)
+    def tts(self, text: str, spkemb, duration=None):
+        wav, phoneme, length, _ = self.tts_ex(text=text, spkemb=spkemb,
+                                              duration=duration, want_mel=False)
         return wav, phoneme, length
 
     def tts_stream(self, text: str, spkemb, chunk_frames: int = 96, duration=None):
@@ -414,26 +417,30 @@ class ZeroVoxTTS:
         cfg = cfg or ZeroVoxConfig()
         meldec_cfg = meldec_cfg or HifiGanConfig(num_mels=cfg.audio.num_mels,
                                                  sampling_rate=cfg.audio.sampling_rate)
-        key = jax.random.PRNGKey(seed)
         model = ZeroVox(cfg)
-        batch = {
-            "phoneme": jnp.zeros((1, 16), jnp.int32),
-            "puncts": jnp.zeros((1, 16), jnp.int32),
-            "phoneme_mask": jnp.zeros((1, 16), bool),
-            "pitch": jnp.zeros((1, 16)),
-            "energy": jnp.zeros((1, 16)),
-            "duration": jnp.ones((1, 16), jnp.int32),
-            "mel_mask": jnp.zeros((1, 16), bool),
-            "ref_mel": jnp.zeros((1, 32, cfg.audio.num_mels)),
-        }
-        # initialize on CPU — a remote TPU would otherwise compile the whole
-        # init forward just to draw random weights
+        # initialize on CPU — a remote TPU would otherwise run the whole init
+        # forward over the wire just to draw random weights. Everything
+        # (including the example batch) must be created inside the CPU
+        # default-device scope, or device propagation drags init onto the TPU.
         cpu = jax.local_devices(backend="cpu")[0]
         with jax.default_device(cpu):
-            variables = model.init({"params": key}, batch, train=False)
+            key = jax.random.PRNGKey(seed)
+            batch = {
+                "phoneme": jnp.zeros((1, 16), jnp.int32),
+                "puncts": jnp.zeros((1, 16), jnp.int32),
+                "phoneme_mask": jnp.zeros((1, 16), bool),
+                "pitch": jnp.zeros((1, 16)),
+                "energy": jnp.zeros((1, 16)),
+                "duration": jnp.ones((1, 16), jnp.int32),
+                "mel_mask": jnp.zeros((1, 16), bool),
+                "ref_mel": jnp.zeros((1, 32, cfg.audio.num_mels)),
+            }
+            variables = jax.jit(lambda k: model.init({"params": k}, batch, train=False))(key)
             meldec = MelDec(meldec_cfg)
-            mdvars = meldec.init(jax.random.PRNGKey(seed + 1),
-                                 jnp.zeros((1, 16, meldec_cfg.num_mels)),
-                                 normalize_before=True)
+            mdvars = jax.jit(
+                lambda k: meldec.init(k, jnp.zeros((1, 16, meldec_cfg.num_mels)),
+                                      normalize_before=True)
+            )(jax.random.PRNGKey(seed + 1))
+            jax.block_until_ready((variables, mdvars))
         return cls(cfg, variables, meldec_cfg, mdvars,
                    language=language, verbose=verbose)
