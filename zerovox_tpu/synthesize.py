@@ -80,11 +80,14 @@ class ZeroVoxTTS:
         self._model = ZeroVox(cfg)
         self._meldec = MelDec(meldec_cfg)
         self._meldec_cfg = meldec_cfg
-        # Pin weights on the accelerator once — host-resident (numpy) params
-        # would otherwise re-upload on every jitted call, which dominates
-        # latency on remote/tunneled TPU backends.
-        self._variables = jax.device_put(variables)
-        self._meldec_variables = jax.device_put(meldec_variables)
+        # Pin weights on the accelerator once — host-resident params would
+        # otherwise re-upload on every jitted call, which dominates latency on
+        # remote/tunneled TPU backends. The device must be explicit:
+        # device_put without one leaves uncommitted CPU arrays where they are.
+        dev = jax.devices()[0]
+        self._variables = jax.device_put(variables, dev)
+        self._meldec_variables = jax.device_put(meldec_variables, dev)
+        jax.block_until_ready((self._variables, self._meldec_variables))
 
         a = cfg.audio
         self._hop_length = a.hop_size
