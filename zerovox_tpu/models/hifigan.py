@@ -156,9 +156,12 @@ class Generator(nn.Module):
 class MelDec(nn.Module):
     """Vocoder wrapper carrying the optional mel normalization stats some
     externally-trained checkpoints embed (reference model.py:298-299 uses
-    meldec.mean/scale; our default is identity)."""
+    meldec.mean/scale; our default is identity) and the optional PQMF
+    multiband synthesis for legacy multi-band MelGAN-family vocoders
+    (reference model.py:302-303 `meldec.pqmf.synthesis`)."""
 
     cfg: HifiGanConfig
+    subbands: int = 1
 
     @nn.compact
     def __call__(self, mel, normalize_before: bool = False):
@@ -166,7 +169,15 @@ class MelDec(nn.Module):
             mean = self.param("mean", nn.initializers.zeros, (self.cfg.num_mels,))
             scale = self.param("scale", nn.initializers.ones, (self.cfg.num_mels,))
             mel = (mel - mean) / scale
-        return Generator(self.cfg, name="generator")(mel)
+        wav = Generator(self.cfg, name="generator")(mel)
+        if self.subbands > 1:
+            from zerovox_tpu.ops.pqmf import PQMF
+
+            # generator emitted stacked subband signals [B, T*S] -> [B, T, S]
+            B, N = wav.shape
+            bands = wav.reshape(B, N // self.subbands, self.subbands)
+            wav = PQMF(self.subbands).synthesis(bands)
+        return wav
 
 
 # --------------------------------------------------------------- discriminators
