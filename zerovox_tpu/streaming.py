@@ -39,6 +39,43 @@ def _window_vocoder(meldec, window_frames: int):
     return run
 
 
+class ChunkStreamer:
+    """Fixed-window chunked vocoder over one decoded mel."""
+
+    def __init__(self, meldec, meldec_variables, meldec_cfg, mel,
+                 chunk_frames: int = 96, halo_frames: int | None = None):
+        if halo_frames is None:
+            halo_frames = meldec_cfg.receptive_field_frames()
+        self.halo = halo_frames
+        self.up = meldec_cfg.total_upsample
+        self.chunk = chunk_frames
+        self.window = chunk_frames + 2 * halo_frames
+        self._vars = meldec_variables
+        # left halo zeros + right padding so any window start is in range;
+        # frames past mel_len are already zero (decoder mask)
+        self._mel_padded = jnp.pad(jnp.asarray(mel),
+                                   ((0, 0), (self.halo, self.window), (0, 0)))
+        self._run = _window_vocoder(meldec, self.window)
+
+    def dispatch(self, pos: int):
+        """Asynchronously start vocoding the window at mel position `pos`."""
+        return self._run(self._vars, self._mel_padded, pos)
+
+    def trim(self, wav, n_frames: int) -> np.ndarray:
+        start_s = self.halo * self.up
+        return np.asarray(wav)[0, start_s : start_s + n_frames * self.up]
+
+    def chunks(self, mel_len: int, pos: int = 0, first_wav=None) -> Iterator[np.ndarray]:
+        """Yield chunks covering mel[pos:mel_len]; `first_wav` is an already-
+        dispatched window at `pos` (speculative pipelining)."""
+        while pos < mel_len:
+            end = min(pos + self.chunk, mel_len)
+            wav = first_wav if first_wav is not None else self.dispatch(pos)
+            first_wav = None
+            yield self.trim(wav, end - pos)
+            pos = end
+
+
 def stream_vocode(
     meldec,
     meldec_variables: dict,
@@ -50,26 +87,9 @@ def stream_vocode(
     halo_frames: int | None = None,
 ) -> Iterator[np.ndarray]:
     """Yield waveform chunks covering mel[:, :mel_len]."""
-    if halo_frames is None:
-        halo_frames = meldec_cfg.receptive_field_frames()
-
-    up = meldec_cfg.total_upsample
-    window = chunk_frames + 2 * halo_frames
-
-    # left halo zeros + right padding so any window start is in range;
-    # frames past mel_len are already zero (decoder mask)
-    mel_padded = jnp.pad(jnp.asarray(mel), ((0, 0), (halo_frames, window), (0, 0)))
-    run = _window_vocoder(meldec, window)
-
-    pos = 0
-    while pos < mel_len:
-        end = min(pos + chunk_frames, mel_len)
-        # window starts at (pos - halo) in mel coords = pos in padded coords
-        wav = run(meldec_variables, mel_padded, pos)
-        start_s = halo_frames * up
-        out = np.asarray(wav[0, start_s : start_s + (end - pos) * up])
-        yield out
-        pos = end
+    streamer = ChunkStreamer(meldec, meldec_variables, meldec_cfg, mel,
+                             chunk_frames, halo_frames)
+    yield from streamer.chunks(mel_len)
 
 
 def verify_stream_equivalence(meldec, meldec_variables, meldec_cfg, mel, mel_len,

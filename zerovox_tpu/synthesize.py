@@ -225,24 +225,34 @@ class ZeroVoxTTS:
 
         if dur is not None:
             enc = self._jit_encode_forced(self._variables, phonemes, puncts, mask, spkemb, dur)
+            spec_len = int(dur.sum())
         else:
             enc = self._jit_encode(self._variables, phonemes, puncts, mask, spkemb)
+            spec_len = self._SPEC_FRAMES_PER_PHONE * len(phone_ids) + 16
 
-        mel_len = int(jnp.sum(enc["duration_rounded"]))  # one scalar host sync
+        # dispatch decode + vocode at a speculative bucket; the duration host
+        # sync overlaps their device time (exact for any bucket >= mel_len)
+        T_spec = pick_bucket(min(max(spec_len, 1), self.cfg.model.max_mel_len), MEL_BUCKETS)
+        mel, _, _ = self._jit_decode(
+            self._variables, enc["x"], enc["duration_rounded"], spkemb, T_spec)
+        wav = self._jit_vocode(self._meldec_variables, mel)
+
+        mel_len = int(jnp.sum(enc["duration_rounded"]))  # overlapped host sync
+        mel_len = max(min(mel_len, self.cfg.model.max_mel_len), 1)
         if timer:
             timer.mark("pe")
 
-        mel_len = max(min(mel_len, self.cfg.model.max_mel_len), 1)
-        T = pick_bucket(mel_len, MEL_BUCKETS)
+        if mel_len > T_spec:
+            # speculation too small — redo at the exact bucket (rare)
+            T = pick_bucket(mel_len, MEL_BUCKETS)
+            mel, _, _ = self._jit_decode(
+                self._variables, enc["x"], enc["duration_rounded"], spkemb, T)
+            wav = self._jit_vocode(self._meldec_variables, mel)
 
-        mel, mel_len_dev, _ = self._jit_decode(
-            self._variables, enc["x"], enc["duration_rounded"], spkemb, T
-        )
         if timer:
             mel.block_until_ready()
             timer.mark("dec")
 
-        wav = self._jit_vocode(self._meldec_variables, mel)
         wav_np = np.asarray(wav)[0, : mel_len * self._hop_length]
         if timer:
             timer.mark("meldec")
@@ -282,10 +292,20 @@ class ZeroVoxTTS:
                                               duration=duration, want_mel=False)
         return wav, phoneme, length
 
+    # generous upper bound on avg frames/phone for speculative bucketing
+    # (~12 frames = 140 ms per phone; typical speech averages 5-7)
+    _SPEC_FRAMES_PER_PHONE = 12
+
     def tts_stream(self, text: str, spkemb, chunk_frames: int = 96, duration=None):
         """Streaming synthesis: yields waveform chunks as they are vocoded.
-        First audio is available after one decoder pass + one chunk vocode
-        instead of the full utterance (see zerovox_tpu/streaming.py)."""
+
+        Latency design: the mel bucket is chosen *speculatively* from the
+        phone count, so the decoder + first-chunk vocoder are dispatched
+        back-to-back without waiting for the duration-sum host sync — the
+        masked decoder output is exact for any bucket >= the true mel length,
+        and in the (pathological) case the speculation was too small the
+        stream transparently redoes the decode at the correct bucket before
+        emitting anything."""
         from zerovox_tpu.streaming import stream_vocode
 
         phone_ids, punct_ids = self.text2phonemeids(text.strip())
@@ -295,17 +315,37 @@ class ZeroVoxTTS:
         phonemes, puncts, mask, dur = self._prepare_inputs(phone_ids, punct_ids, duration)
         if dur is not None:
             enc = self._jit_encode_forced(self._variables, phonemes, puncts, mask, spkemb, dur)
+            spec_len = int(dur.sum())
         else:
             enc = self._jit_encode(self._variables, phonemes, puncts, mask, spkemb)
-        mel_len = int(jnp.sum(enc["duration_rounded"]))
-        mel_len = max(min(mel_len, self.cfg.model.max_mel_len), 1)
-        T = pick_bucket(mel_len, MEL_BUCKETS)
-        mel, _, _ = self._jit_decode(self._variables, enc["x"], enc["duration_rounded"], spkemb, T)
+            spec_len = self._SPEC_FRAMES_PER_PHONE * len(phone_ids) + 16
 
-        yield from stream_vocode(
-            self._meldec, self._meldec_variables, self._meldec_cfg,
-            mel, mel_len, self._hop_length, chunk_frames=chunk_frames,
-        )
+        from zerovox_tpu.streaming import ChunkStreamer
+
+        T_spec = pick_bucket(min(max(spec_len, 1), self.cfg.model.max_mel_len), MEL_BUCKETS)
+        # dispatch decode + first vocoder window speculatively — the duration
+        # host sync overlaps their device time instead of gating them
+        mel, _, _ = self._jit_decode(
+            self._variables, enc["x"], enc["duration_rounded"], spkemb, T_spec)
+        streamer = ChunkStreamer(self._meldec, self._meldec_variables,
+                                 self._meldec_cfg, mel, chunk_frames)
+        first_wav = streamer.dispatch(0)
+
+        true_len = int(jnp.sum(enc["duration_rounded"]))  # overlapped sync
+        mel_len = max(min(true_len, self.cfg.model.max_mel_len), 1)
+
+        if mel_len > T_spec:
+            # speculation too small (>12 frames/phone avg): redo exactly —
+            # a truncated decode grid changes attention, so nothing emitted yet
+            T = pick_bucket(mel_len, MEL_BUCKETS)
+            mel, _, _ = self._jit_decode(
+                self._variables, enc["x"], enc["duration_rounded"], spkemb, T)
+            yield from stream_vocode(
+                self._meldec, self._meldec_variables, self._meldec_cfg,
+                mel, mel_len, self._hop_length, chunk_frames=chunk_frames)
+            return
+
+        yield from streamer.chunks(mel_len, pos=0, first_wav=first_wav)
 
     def warmup(self, texts=("This is a warmup utterance.",), spkemb=None):
         """Compile the bucket programs ahead of serving."""
