@@ -31,17 +31,26 @@ def main(argv=None):
 def _load_meldec_state_dict(meldec_spec):
     from zerovox_tpu import hub
     from zerovox_tpu.checkpoint import load_torch_checkpoint
+    from zerovox_tpu.models.hifigan import HifiGanConfig
 
     if os.path.isdir(str(meldec_spec)):
         gen_path = os.path.join(meldec_spec, "generator.ckpt")
+        cfg_path = os.path.join(meldec_spec, "config.json")
     else:
         gen_path = hub.download_model_file(model=str(meldec_spec), relpath="generator.ckpt")
-    return load_torch_checkpoint(gen_path)
+        cfg_path = hub.download_model_file(model=str(meldec_spec), relpath="config.json")
+
+    cfg = HifiGanConfig()
+    if os.path.exists(cfg_path):
+        import json
+
+        with open(cfg_path) as f:
+            cfg = HifiGanConfig.from_dict(json.load(f))
+    return load_torch_checkpoint(gen_path), cfg
 
 
 def _edit_native(path, meldec_spec):
     from zerovox_tpu.checkpoint import _SD, convert_hifigan_generator
-    from zerovox_tpu.models.hifigan import HifiGanConfig
     from zerovox_tpu.training.checkpointing import (
         load_native_checkpoint,
         save_native_checkpoint,
@@ -50,8 +59,7 @@ def _edit_native(path, meldec_spec):
     print(f"loading {path} ...")
     variables = load_native_checkpoint(path)
     if meldec_spec:
-        sd = _load_meldec_state_dict(meldec_spec)
-        cfg = HifiGanConfig()
+        sd, cfg = _load_meldec_state_dict(meldec_spec)
         print("adding meldec params")
         variables["meldec"] = {"generator": convert_hifigan_generator(_SD(sd), cfg)}
     else:
@@ -68,7 +76,7 @@ def _edit_torch(path, meldec_spec):
     state_dict = checkpoint["state_dict"]
 
     if meldec_spec:
-        sd = _load_meldec_state_dict(meldec_spec)
+        sd, _ = _load_meldec_state_dict(meldec_spec)
         for key, val in sd.items():
             mkey = "_meldec." + key
             print(f"adding meldec key {mkey}")
