@@ -1,0 +1,36 @@
+"""Fused ResBlock1 Pallas kernel vs XLA reference (interpret mode on CPU)."""
+
+import numpy as np
+import pytest
+
+from zerovox_tpu.ops.pallas.resblock import fused_resblock1, resblock1_reference
+
+
+def _weights(rng, n_pairs, k, C):
+    w1 = (rng.normal(size=(n_pairs, k, C, C)) * 0.05).astype(np.float32)
+    b1 = (rng.normal(size=(n_pairs, C)) * 0.01).astype(np.float32)
+    w2 = (rng.normal(size=(n_pairs, k, C, C)) * 0.05).astype(np.float32)
+    b2 = (rng.normal(size=(n_pairs, C)) * 0.01).astype(np.float32)
+    return w1, b1, w2, b2
+
+
+class TestFusedResBlock:
+    @pytest.mark.parametrize("k,dil", [(3, (1, 3, 5)), (7, (1, 3, 5)), (3, (1, 3))])
+    def test_matches_reference(self, k, dil):
+        rng = np.random.default_rng(0)
+        T, C = 300, 16
+        x = rng.normal(size=(T, C)).astype(np.float32)
+        w1, b1, w2, b2 = _weights(rng, len(dil), k, C)
+
+        ref = np.asarray(resblock1_reference(x, w1, b1, w2, b2, dil))
+        out = np.asarray(fused_resblock1(x, w1, b1, w2, b2, dil, tile=128, interpret=True))
+        np.testing.assert_allclose(out, ref, atol=2e-4)
+
+    def test_non_tile_multiple_length(self):
+        rng = np.random.default_rng(1)
+        T, C = 197, 8
+        x = rng.normal(size=(T, C)).astype(np.float32)
+        w1, b1, w2, b2 = _weights(rng, 3, 3, C)
+        ref = np.asarray(resblock1_reference(x, w1, b1, w2, b2, (1, 3, 5)))
+        out = np.asarray(fused_resblock1(x, w1, b1, w2, b2, (1, 3, 5), tile=64, interpret=True))
+        np.testing.assert_allclose(out, ref, atol=2e-4)

@@ -1,0 +1,147 @@
+"""Pallas TPU kernel: fused HiFi-GAN ResBlock1.
+
+One ResBlock1 (reference hifigan.py:25-62) is a chain of three
+[leaky_relu -> dilated conv(k, d_i) -> leaky_relu -> conv(k, 1) -> +residual]
+pairs. Run as separate XLA ops, each conv round-trips the full [T, C]
+activation through HBM — at vocoder scale (T up to ~450k samples after
+upsampling) the block is bandwidth-bound. This kernel keeps one time-tile of
+the activation resident in VMEM across all six convs and both residual adds,
+so HBM sees exactly one read and one write of x per block.
+
+Layout: x [T, C] float32 (batch folded by the caller; the synthesis path is
+B=1). Convs run as k shifted-window matmuls on the MXU. Each grid step DMAs a
+(tile + 2*halo) input window from HBM into VMEM scratch — the halo covers the
+block's total receptive field, and x arrives pre-padded so edge tiles read
+zeros (matching XLA conv zero padding).
+
+Used for the late upsample stages (C <= 128) where the six conv kernels fit
+VMEM; wider stages fall back to the im2col XLA path (models/layers.py).
+Verified against `resblock1_reference` in tests (interpret mode on CPU,
+compiled on TPU).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+LRELU_SLOPE = 0.1
+
+
+def _leaky(x):
+    return jnp.where(x >= 0, x, x * LRELU_SLOPE)
+
+
+def _halo(kernel_size: int, dilations) -> int:
+    r = 0
+    half = (kernel_size - 1) // 2
+    for d in dilations:
+        r += half * d + half  # dilated conv + plain conv per pair
+    return r
+
+
+def _conv_same(win, w, dilation: int):
+    """'same' conv over the VMEM window via k statically-shifted matmuls;
+    values within `halo` of the window edge are garbage (never written)."""
+    k = w.shape[0]
+    half = (k - 1) // 2
+    L = win.shape[0]
+    out = None
+    for i in range(k):
+        off = (i - half) * dilation
+        # static shift via slice of a zero-padded window copy
+        if off >= 0:
+            shifted = jnp.concatenate([win[off:], jnp.zeros((off, win.shape[1]), win.dtype)], axis=0)
+        else:
+            shifted = jnp.concatenate([jnp.zeros((-off, win.shape[1]), win.dtype), win[:off]], axis=0)
+        term = jnp.dot(shifted, w[i], preferred_element_type=jnp.float32)
+        out = term if out is None else out + term
+    return out
+
+
+def _resblock_kernel(x_hbm, w1_ref, b1_ref, w2_ref, b2_ref, o_ref, win_scratch, sem,
+                     *, dilations, tile, halo, seq_len):
+    i = pl.program_id(0)
+    dma = pltpu.make_async_copy(
+        x_hbm.at[pl.ds(i * tile, tile + 2 * halo), :],
+        win_scratch,
+        sem,
+    )
+    dma.start()
+    dma.wait()
+
+    # rows outside the real sequence must stay exactly zero before every conv
+    # (XLA pads each intermediate conv input with zeros; biases would
+    # otherwise leak nonzero values into the halo and corrupt edge outputs)
+    win_len = tile + 2 * halo
+    pos = jax.lax.broadcasted_iota(jnp.int32, (win_len, 1), 0) + i * tile - halo
+    valid = (pos >= 0) & (pos < seq_len)
+
+    win = jnp.where(valid, win_scratch[:], 0.0)
+    for p, d in enumerate(dilations):
+        xt = _leaky(win)
+        xt = _conv_same(xt, w1_ref[p], d) + b1_ref[p][None, :]
+        xt = jnp.where(valid, xt, 0.0)  # conv2's implicit zero padding
+        xt = _leaky(xt)
+        xt = _conv_same(xt, w2_ref[p], 1) + b2_ref[p][None, :]
+        win = jnp.where(valid, win + xt, 0.0)
+    o_ref[:] = win[halo : halo + tile, :]
+
+
+def fused_resblock1(
+    x: jnp.ndarray,  # [T, C]
+    w1: jnp.ndarray,  # [n_pairs, k, C, C] dilated convs
+    b1: jnp.ndarray,  # [n_pairs, C]
+    w2: jnp.ndarray,  # [n_pairs, k, C, C] plain convs
+    b2: jnp.ndarray,  # [n_pairs, C]
+    dilations: tuple[int, ...],
+    tile: int = 2048,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    T, C = x.shape
+    k = w1.shape[1]
+    halo = _halo(k, tuple(dilations))
+
+    num_tiles = (T + tile - 1) // tile
+    T_pad = num_tiles * tile
+    xp = jnp.pad(x, ((halo, halo + (T_pad - T)), (0, 0)))
+
+    win = tile + 2 * halo
+    out = pl.pallas_call(
+        functools.partial(_resblock_kernel, dilations=tuple(dilations), tile=tile, halo=halo, seq_len=T),
+        grid=(num_tiles,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pl.ANY),  # x stays in HBM; manual DMA
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((tile, C), lambda i: (i, 0), memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((T_pad, C), x.dtype),
+        scratch_shapes=[
+            pltpu.VMEM((win, C), jnp.float32),
+            pltpu.SemaphoreType.DMA,
+        ],
+        interpret=interpret,
+    )(xp, w1, b1, w2, b2)
+    return out[:T]
+
+
+def resblock1_reference(x, w1, b1, w2, b2, dilations):
+    """Plain-XLA reference of the same block (for tests and fallback)."""
+    from zerovox_tpu.models.layers import conv1d_im2col
+
+    win = x[None]
+    k = w1.shape[1]
+    for i, d in enumerate(dilations):
+        xt = _leaky(win)
+        xt = conv1d_im2col(xt, w1[i], padding=((k - 1) // 2) * d, dilation=d) + b1[i]
+        xt = _leaky(xt)
+        xt = conv1d_im2col(xt, w2[i], padding=(k - 1) // 2, dilation=1) + b2[i]
+        win = win + xt
+    return win[0]
