@@ -86,22 +86,56 @@ def get_padding(kernel_size: int, dilation: int = 1) -> int:
     return (kernel_size * dilation - dilation) // 2
 
 
+class _ConvParams(nn.Module):
+    """Parameter-only holder so ResBlock1 can feed its conv weights either to
+    the plain im2col path or to the fused Pallas kernel while keeping the
+    exact param-tree layout the checkpoint importer targets."""
+
+    kernel_size: int
+    in_ch: int
+    out_ch: int
+
+    @nn.compact
+    def __call__(self):
+        kernel = self.param("kernel", nn.initializers.lecun_normal(),
+                            (self.kernel_size, self.in_ch, self.out_ch))
+        bias = self.param("bias", nn.initializers.zeros, (self.out_ch,))
+        return kernel, bias
+
+
 class ResBlock1(nn.Module):
-    """Dilated/plain conv pairs (reference hifigan.py:25-62)."""
+    """Dilated/plain conv pairs (reference hifigan.py:25-62). With
+    `use_pallas` the whole block runs as one fused VMEM-resident kernel
+    (zerovox_tpu/ops/pallas/resblock.py) — bit-identical output, one HBM
+    read/write of the activation instead of six."""
 
     channels: int
     kernel_size: int = 3
     dilation: tuple[int, ...] = (1, 3, 5)
+    use_pallas: bool = False
 
     @nn.compact
     def __call__(self, x):
-        for i, d in enumerate(self.dilation):
+        from zerovox_tpu.models.layers import conv1d_im2col
+
+        k, c = self.kernel_size, self.channels
+        params1 = [_ConvParams(k, c, c, name=f"convs1_{i}")() for i in range(len(self.dilation))]
+        params2 = [_ConvParams(k, c, c, name=f"convs2_{i}")() for i in range(len(self.dilation))]
+
+        if self.use_pallas and x.shape[0] == 1:
+            from zerovox_tpu.ops.pallas.resblock import fused_resblock1
+
+            w1 = jnp.stack([p[0] for p in params1])
+            b1 = jnp.stack([p[1] for p in params1])
+            w2 = jnp.stack([p[0] for p in params2])
+            b2 = jnp.stack([p[1] for p in params2])
+            return fused_resblock1(x[0], w1, b1, w2, b2, tuple(self.dilation))[None]
+
+        for (w1, b1), (w2, b2), d in zip(params1, params2, self.dilation):
             xt = leaky_relu(x, LRELU_SLOPE)
-            xt = Conv1d(self.channels, self.kernel_size, dilation=d,
-                        padding=get_padding(self.kernel_size, d), name=f"convs1_{i}")(xt)
+            xt = conv1d_im2col(xt, w1, padding=get_padding(k, d), dilation=d) + b1
             xt = leaky_relu(xt, LRELU_SLOPE)
-            xt = Conv1d(self.channels, self.kernel_size, dilation=1,
-                        padding=get_padding(self.kernel_size, 1), name=f"convs2_{i}")(xt)
+            xt = conv1d_im2col(xt, w2, padding=get_padding(k, 1), dilation=1) + b2
             x = xt + x
         return x
 
@@ -125,9 +159,11 @@ class ResBlock2(nn.Module):
 
 class Generator(nn.Module):
     """HiFi-GAN generator (reference hifigan.py:89-130). Input [B, T, n_mels]
-    (NLC) -> waveform [B, T * prod(upsample_rates)]."""
+    (NLC) -> waveform [B, T * prod(upsample_rates)]. `use_pallas` routes the
+    MRF resblocks through the fused Pallas kernel (single-utterance path)."""
 
     cfg: HifiGanConfig
+    use_pallas: bool = False
 
     @nn.compact
     def __call__(self, mel):
@@ -143,7 +179,9 @@ class Generator(nn.Module):
             x = ConvTranspose1d(ch, k, stride=u, padding=(k - u) // 2, name=f"ups_{i}")(x)
             xs = None
             for j, (ks, dil) in enumerate(zip(cfg.resblock_kernel_sizes, cfg.resblock_dilation_sizes)):
-                r = resblock_cls(ch, ks, tuple(dil), name=f"resblocks_{i * num_kernels + j}")(x)
+                kwargs = {"use_pallas": self.use_pallas} if cfg.resblock == "1" else {}
+                r = resblock_cls(ch, ks, tuple(dil),
+                                 name=f"resblocks_{i * num_kernels + j}", **kwargs)(x)
                 xs = r if xs is None else xs + r
             x = xs / num_kernels
 
@@ -162,6 +200,7 @@ class MelDec(nn.Module):
 
     cfg: HifiGanConfig
     subbands: int = 1
+    use_pallas: bool = False
 
     @nn.compact
     def __call__(self, mel, normalize_before: bool = False):
@@ -169,7 +208,7 @@ class MelDec(nn.Module):
             mean = self.param("mean", nn.initializers.zeros, (self.cfg.num_mels,))
             scale = self.param("scale", nn.initializers.ones, (self.cfg.num_mels,))
             mel = (mel - mean) / scale
-        wav = Generator(self.cfg, name="generator")(mel)
+        wav = Generator(self.cfg, use_pallas=self.use_pallas, name="generator")(mel)
         if self.subbands > 1:
             from zerovox_tpu.ops.pqmf import PQMF
 

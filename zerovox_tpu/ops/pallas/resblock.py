@@ -44,20 +44,24 @@ def _halo(kernel_size: int, dilations) -> int:
     return r
 
 
+def _roll(x, shift: int):
+    shift = shift % x.shape[0]  # pltpu.roll requires a non-negative shift
+    try:
+        return pltpu.roll(x, shift, 0)
+    except Exception:  # interpret mode on CPU
+        return jnp.roll(x, shift, axis=0)
+
+
 def _conv_same(win, w, dilation: int):
-    """'same' conv over the VMEM window via k statically-shifted matmuls;
-    values within `halo` of the window edge are garbage (never written)."""
+    """'same' conv over the VMEM window via k circularly-shifted matmuls.
+    Wrap-around rows are garbage, but they stay within the halo (the halo is
+    sized to the block's total receptive field and never written out)."""
     k = w.shape[0]
     half = (k - 1) // 2
-    L = win.shape[0]
     out = None
     for i in range(k):
         off = (i - half) * dilation
-        # static shift via slice of a zero-padded window copy
-        if off >= 0:
-            shifted = jnp.concatenate([win[off:], jnp.zeros((off, win.shape[1]), win.dtype)], axis=0)
-        else:
-            shifted = jnp.concatenate([jnp.zeros((-off, win.shape[1]), win.dtype), win[:off]], axis=0)
+        shifted = _roll(win, -off) if off != 0 else win
         term = jnp.dot(shifted, w[i], preferred_element_type=jnp.float32)
         out = term if out is None else out + term
     return out
@@ -78,7 +82,8 @@ def _resblock_kernel(x_hbm, w1_ref, b1_ref, w2_ref, b2_ref, o_ref, win_scratch, 
     # (XLA pads each intermediate conv input with zeros; biases would
     # otherwise leak nonzero values into the halo and corrupt edge outputs)
     win_len = tile + 2 * halo
-    pos = jax.lax.broadcasted_iota(jnp.int32, (win_len, 1), 0) + i * tile - halo
+    C = win_scratch.shape[1]
+    pos = jax.lax.broadcasted_iota(jnp.int32, (win_len, C), 0) + i * tile - halo
     valid = (pos >= 0) & (pos < seq_len)
 
     win = jnp.where(valid, win_scratch[:], 0.0)
@@ -106,6 +111,19 @@ def fused_resblock1(
     k = w1.shape[1]
     halo = _halo(k, tuple(dilations))
 
+    # Mosaic wants the lane (channel) dimension at 128; zero-pad narrower
+    # stages — padded channels stay exactly zero through the whole block
+    # (leaky(0)=0, zero kernels, zero bias), so the slice back is exact.
+    C_out = C
+    if C < 128:
+        pad_c = 128 - C
+        x = jnp.pad(x, ((0, 0), (0, pad_c)))
+        w1 = jnp.pad(w1, ((0, 0), (0, 0), (0, pad_c), (0, pad_c)))
+        w2 = jnp.pad(w2, ((0, 0), (0, 0), (0, pad_c), (0, pad_c)))
+        b1 = jnp.pad(b1, ((0, 0), (0, pad_c)))
+        b2 = jnp.pad(b2, ((0, 0), (0, pad_c)))
+        C = 128
+
     num_tiles = (T + tile - 1) // tile
     T_pad = num_tiles * tile
     xp = jnp.pad(x, ((halo, halo + (T_pad - T)), (0, 0)))
@@ -129,7 +147,7 @@ def fused_resblock1(
         ],
         interpret=interpret,
     )(xp, w1, b1, w2, b2)
-    return out[:T]
+    return out[:T, :C_out]
 
 
 def resblock1_reference(x, w1, b1, w2, b2, dilations):

@@ -78,7 +78,8 @@ class ZeroVoxTTS:
         self._normalizer = ZeroVoxNormalizer(language or cfg.langs[0])
 
         self._model = ZeroVox(cfg)
-        self._meldec = MelDec(meldec_cfg)
+        use_pallas = os.environ.get("ZEROVOX_USE_PALLAS", "0") == "1"
+        self._meldec = MelDec(meldec_cfg, use_pallas=use_pallas)
         self._meldec_cfg = meldec_cfg
         # Pin weights on the accelerator once — host-resident params would
         # otherwise re-upload on every jitted call, which dominates latency on
