@@ -212,3 +212,44 @@ class TestPipelineEndToEnd:
         x, y = next(iter(dm.train_dataloader()))
         assert x["phoneme"].shape[0] == 2
         assert np.isfinite(y["mel"]).all()
+
+
+class TestNativeAligner:
+    def test_native_matches_numpy(self):
+        """C++ Viterbi vs the numpy DP on random emissions."""
+        from zerovox_tpu import native
+        from zerovox_tpu.preprocess import ctc_align
+
+        lib = native.load("ctc_align")
+        if lib is None:
+            pytest.skip("no C++ toolchain available")
+
+        rng = np.random.default_rng(9)
+        for trial in range(5):
+            T, C = int(rng.integers(30, 120)), 8
+            logits = rng.normal(size=(T, C))
+            emissions = logits - np.log(np.exp(logits).sum(-1, keepdims=True))
+            targets = rng.integers(1, C, size=rng.integers(1, T // 4))
+
+            a_nat, s_nat = ctc_align._native_forced_align(emissions, targets, 0)
+            # force the numpy path by calling internals
+            import zerovox_tpu.preprocess.ctc_align as ca
+            orig = ca._native_forced_align
+            ca._native_forced_align = lambda *a, **k: None
+            try:
+                a_np, s_np = ca.forced_align(emissions, targets, 0)
+            finally:
+                ca._native_forced_align = orig
+
+            np.testing.assert_array_equal(a_nat, a_np)
+            np.testing.assert_allclose(s_nat, s_np, atol=1e-5)
+
+    def test_native_too_long_raises(self):
+        from zerovox_tpu import native
+        from zerovox_tpu.preprocess.ctc_align import forced_align
+
+        if native.load("ctc_align") is None:
+            pytest.skip("no C++ toolchain available")
+        emissions = np.zeros((2, 4))
+        with pytest.raises(ValueError):
+            forced_align(emissions, np.array([1, 2, 3]))

@@ -107,3 +107,23 @@ class TestStreaming:
         rest = list(gen)
         assert len(first) == 32 * synth.cfg.audio.hop_size
         assert len(rest) >= 1
+
+
+class TestBatchedSynthesis:
+    def test_tts_batch_multi_speaker(self, synth):
+        import jax.numpy as jnp
+
+        rng = np.random.default_rng(5)
+        spk1 = synth.speaker_embed(rng.normal(size=11000).astype(np.float32) * 0.2)
+        spk2 = synth.speaker_embed(rng.normal(size=13000).astype(np.float32) * 0.2)
+        spkembs = jnp.concatenate([spk1, spk2], axis=0)
+
+        outs = synth.tts_batch(["hello there", "a different longer sentence entirely"], spkembs)
+        assert len(outs) == 2
+        for wav, n in outs:
+            assert n > 0 and wav.shape[0] == n * synth.cfg.audio.hop_size
+
+        # batched result matches single-utterance synthesis for the same input
+        wav_single, _, n_single = synth.tts("hello there", spk1)
+        assert n_single == outs[0][1]
+        np.testing.assert_allclose(outs[0][0], wav_single, atol=2e-5)

@@ -33,6 +33,37 @@ class TokenSpan:
     score: float
 
 
+def _native_forced_align(log_probs, targets, blank):
+    """C++ fast path; returns None when the native lib is unavailable."""
+    import ctypes
+
+    from zerovox_tpu import native
+
+    lib = native.load("ctc_align")
+    if lib is None:
+        return None
+
+    log_probs = np.ascontiguousarray(log_probs, dtype=np.float32)
+    targets = np.ascontiguousarray(np.asarray(targets, dtype=np.int64).reshape(-1))
+    T, C = log_probs.shape
+    out_tokens = np.empty(T, dtype=np.int64)
+    out_scores = np.empty(T, dtype=np.float32)
+
+    fn = lib.zv_forced_align
+    fn.restype = ctypes.c_int
+    rc = fn(
+        log_probs.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        ctypes.c_int64(T), ctypes.c_int64(C),
+        targets.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        ctypes.c_int64(len(targets)), ctypes.c_int64(blank),
+        out_tokens.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        out_scores.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+    )
+    if rc == -1:
+        raise ValueError(f"targets length {len(targets)} too long for {T} frames")
+    return out_tokens, out_scores
+
+
 def _extend_targets(targets: np.ndarray, blank: int) -> np.ndarray:
     """Interleave blanks: [t1, t2, ...] -> [b, t1, b, t2, ..., b]."""
     n = len(targets)
@@ -46,7 +77,9 @@ def forced_align(
     targets: np.ndarray,
     blank: int = 0,
 ) -> tuple[np.ndarray, np.ndarray]:
-    """Viterbi CTC alignment.
+    """Viterbi CTC alignment. Dispatches to the native C++ DP
+    (zerovox_tpu/native/ctc_align.cpp) when the toolchain built it, else the
+    vectorized numpy fallback below — both produce identical paths.
 
     Args:
       log_probs: [T, C] log-probabilities (log_softmax over classes).
@@ -60,6 +93,10 @@ def forced_align(
 
     Raises ValueError when T < required minimum path length.
     """
+    native = _native_forced_align(log_probs, targets, blank)
+    if native is not None:
+        return native
+
     log_probs = np.asarray(log_probs, dtype=np.float64)
     targets = np.asarray(targets, dtype=np.int64).reshape(-1)
     T, C = log_probs.shape

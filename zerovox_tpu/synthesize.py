@@ -293,6 +293,43 @@ class ZeroVoxTTS:
                                               duration=duration, want_mel=False)
         return wav, phoneme, length
 
+    def tts_batch(self, texts: list[str], spkembs) -> list[tuple[np.ndarray, int]]:
+        """Batched multi-speaker synthesis: one utterance per (text, speaker
+        embedding) pair, padded to shared buckets so the whole batch runs as
+        single XLA programs (BASELINE.md scenario: zero-shot cloning with
+        batched multi-speaker synthesis). `spkembs` is [B, 1, emb] (stacked
+        speaker_embed outputs). Returns [(wav, mel_len), ...]."""
+        B = len(texts)
+        assert spkembs.shape[0] == B
+
+        ids = [self.text2phonemeids(t.strip()) for t in texts]
+        max_n = max((len(p) for p, _ in ids), default=0)
+        if max_n == 0:
+            return [(np.zeros(1, np.float32), 0)] * B
+        L = pick_bucket(max_n, TEXT_BUCKETS)
+
+        phonemes = np.zeros((B, L), np.int32)
+        puncts = np.zeros((B, L), np.int32)
+        mask = np.ones((B, L), dtype=bool)
+        for i, (p, q) in enumerate(ids):
+            phonemes[i, : len(p)] = p
+            puncts[i, : len(p)] = q
+            mask[i, : len(p)] = False
+
+        enc = self._jit_encode(self._variables, phonemes, puncts, mask, spkembs)
+        mel_lens = np.asarray(jnp.sum(enc["duration_rounded"], axis=1))
+        T = pick_bucket(int(max(mel_lens.max(), 1)), MEL_BUCKETS)
+
+        mel, mel_len_dev, _ = self._jit_decode(
+            self._variables, enc["x"], enc["duration_rounded"], spkembs, T)
+        wav = np.asarray(self._jit_vocode(self._meldec_variables, mel))
+
+        out = []
+        for i in range(B):
+            n = int(min(mel_lens[i], self.cfg.model.max_mel_len))
+            out.append((wav[i, : n * self._hop_length], n))
+        return out
+
     # generous upper bound on avg frames/phone for speculative bucketing
     # (~12 frames = 140 ms per phone; typical speech averages 5-7)
     _SPEC_FRAMES_PER_PHONE = 12
