@@ -127,3 +127,18 @@ class TestBatchedSynthesis:
         wav_single, _, n_single = synth.tts("hello there", spk1)
         assert n_single == outs[0][1]
         np.testing.assert_allclose(outs[0][0], wav_single, atol=2e-5)
+
+
+class TestBf16Precision:
+    def test_bf16_inference_close_to_f32(self):
+        s32 = ZeroVoxTTS.from_random(small_cfg(), SMALL_MELDEC, seed=2)
+        s16 = ZeroVoxTTS.from_random(small_cfg(), SMALL_MELDEC, seed=2, precision="bf16")
+        spk = np.zeros((1, 1, s32.cfg.model.emb_size), np.float32)
+        ids, _ = s32.text2phonemeids("precision check")
+        dur = np.full(len(ids), 4, np.int32)
+        w32, _, n32, _ = s32.tts_ex("precision check", spk, duration=dur)
+        w16, _, n16, _ = s16.tts_ex("precision check", spk, duration=dur)
+        assert n32 == n16
+        assert w16.dtype == np.float32
+        # bf16 inference stays within the 1e-2-scale fidelity envelope
+        assert np.max(np.abs(w32 - w16)) < 5e-2
