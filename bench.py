@@ -24,6 +24,55 @@ TEXT = ("The quick brown fox jumps over the lazy dog while the curious cat "
         "watches from a sunny windowsill in the early morning light.")
 
 
+def _bench_extra_scenarios(synth, sr):
+    """BASELINE.md scenario coverage beyond the headline RTF (run with
+    --full): German text path, zero-shot multi-speaker batch, StyleTTS
+    decoder variant. Results go to stderr; the JSON contract stays one line."""
+    import dataclasses
+
+    import jax.numpy as jnp
+
+    from zerovox_tpu.config import ZeroVoxConfig
+    from zerovox_tpu.synthesize import ZeroVoxTTS
+
+    # German synthesis path (same single model; normalizer swap)
+    synth.language = "de"
+    spk = np.asarray(np.zeros((1, 1, synth.cfg.model.emb_size), np.float32))
+    t0 = time.perf_counter()
+    wav, _, n = synth.tts("Am dreiundzwanzigsten Mai regnete es in Berlin.", spk)
+    de_s = time.perf_counter() - t0
+    print(f"scenario de: {n} frames in {de_s:.2f}s", file=sys.stderr)
+    synth.language = "en"
+
+    # zero-shot cloning: batched multi-speaker synthesis
+    rng = np.random.default_rng(1)
+    spk1 = synth.speaker_embed(rng.normal(size=sr).astype(np.float32) * 0.1)
+    spk2 = synth.speaker_embed(rng.normal(size=sr).astype(np.float32) * 0.1)
+    spkembs = jnp.concatenate([spk1, spk2], axis=0)
+    t0 = time.perf_counter()
+    outs = synth.tts_batch(["one speaker here", "a completely different voice there"], spkembs)
+    t0b = time.perf_counter()
+    outs = synth.tts_batch(["one speaker here", "a completely different voice there"], spkembs)
+    batch_s = time.perf_counter() - t0b
+    voice = sum(n for _, n in outs) * synth.cfg.audio.hop_size / sr
+    print(f"scenario batch-cloning: {voice:.2f}s voice in {batch_s:.2f}s "
+          f"(rtf {batch_s / max(voice, 1e-9):.4f})", file=sys.stderr)
+
+    # StyleTTS decoder variant
+    cfg = ZeroVoxConfig()
+    cfg = dataclasses.replace(cfg, model=dataclasses.replace(cfg.model,
+          decoder=dataclasses.replace(cfg.model.decoder, kind="styletts")))
+    synth_sd = ZeroVoxTTS.from_random(cfg, seed=1)
+    ids, _ = synth_sd.text2phonemeids(TEXT)
+    dur = np.full(len(ids), 6, np.int32)
+    synth_sd.tts_ex(TEXT, spk, duration=dur)  # compile
+    t0 = time.perf_counter()
+    wav, _, n, _ = synth_sd.tts_ex(TEXT, spk, duration=dur)
+    sd_s = time.perf_counter() - t0
+    voice = n * synth_sd.cfg.audio.hop_size / sr
+    print(f"scenario styledec: rtf {sd_s / max(voice, 1e-9):.4f}", file=sys.stderr)
+
+
 def main():
     from zerovox_tpu.utils.compile_cache import enable_compile_cache
 
@@ -67,6 +116,9 @@ def main():
             pass
     lat_sorted = sorted(lat[5:])  # drop warmup
     p50_ms = 1000.0 * lat_sorted[len(lat_sorted) // 2]
+
+    if "--full" in sys.argv:
+        _bench_extra_scenarios(synth, sr)
 
     print(f"voice_len={wav.shape[0] / sr:.2f}s rtf={rtf:.4f} "
           f"(x{1 / max(rtf, 1e-9):.1f} realtime) first_chunk_p50={p50_ms:.1f}ms",
