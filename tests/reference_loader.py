@@ -47,3 +47,32 @@ def load_reference():
     from zerovox.tts import styletts as styletts_mod
 
     return fs2_mod, styletts_mod, resnet_mod, hifigan_mod
+
+
+def _stub_lightning():
+    """lightning isn't installed; the reference ZeroVox only needs
+    LightningModule to behave like nn.Module for forward/inference parity."""
+    if "lightning" in sys.modules:
+        return
+    import torch
+
+    lightning = types.ModuleType("lightning")
+
+    class LightningModule(torch.nn.Module):
+        def save_hyperparameters(self, *args, **kwargs):
+            pass
+
+    lightning.LightningModule = LightningModule
+    sys.modules["lightning"] = lightning
+
+
+def load_reference_model_module():
+    """Import the reference's full composite model (zerovox/tts/model.py)
+    with lightning stubbed."""
+    _stub_torchaudio()
+    _stub_lightning()
+    if REFERENCE_PATH not in sys.path:
+        sys.path.insert(0, REFERENCE_PATH)
+    from zerovox.tts import model as model_mod
+
+    return model_mod
