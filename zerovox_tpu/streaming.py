@@ -67,13 +67,16 @@ class ChunkStreamer:
 
     def chunks(self, mel_len: int, pos: int = 0, first_wav=None) -> Iterator[np.ndarray]:
         """Yield chunks covering mel[pos:mel_len]; `first_wav` is an already-
-        dispatched window at `pos` (speculative pipelining)."""
-        while pos < mel_len:
-            end = min(pos + self.chunk, mel_len)
-            wav = first_wav if first_wav is not None else self.dispatch(pos)
-            first_wav = None
-            yield self.trim(wav, end - pos)
-            pos = end
+        dispatched window at `pos` (speculative pipelining). The next window
+        is always dispatched before the current one is fetched, so device
+        compute overlaps the host-side fetch/yield of the previous chunk."""
+        pending_pos = pos
+        pending = first_wav if first_wav is not None else self.dispatch(pos)
+        while pending_pos < mel_len:
+            end = min(pending_pos + self.chunk, mel_len)
+            nxt = self.dispatch(end) if end < mel_len else None
+            yield self.trim(pending, end - pending_pos)
+            pending, pending_pos = nxt, end
 
 
 def stream_vocode(
