@@ -403,12 +403,25 @@ class ZeroVoxTTS:
 
         yield from streamer.chunks(mel_len, pos=0, first_wav=first_wav)
 
-    def warmup(self, texts=("This is a warmup utterance.",), spkemb=None):
-        """Compile the bucket programs ahead of serving."""
+    def warmup(self, texts=("This is a warmup utterance.",), spkemb=None,
+               mel_buckets=None):
+        """Compile the bucket programs ahead of serving. With `mel_buckets`
+        (e.g. MEL_BUCKETS for full coverage) every given mel bucket's decode +
+        vocode program is also compiled via forced durations, so production
+        traffic never hits a compile."""
         if spkemb is None:
             spkemb = jnp.zeros((1, 1, self.cfg.model.emb_size), dtype=jnp.float32)
         for t in texts:
             self.tts(t, spkemb)
+        if mel_buckets:
+            ids, _ = self.text2phonemeids(texts[0])
+            n = max(len(ids), 1)
+            for T in mel_buckets:
+                if T > self.cfg.model.max_mel_len:
+                    continue
+                dur = np.full(n, max(1, T // n), dtype=np.int32)
+                dur[-1] += T - int(dur.sum())  # land exactly in bucket T
+                self.tts(texts[0], spkemb, duration=dur)
 
     def summary(self, depth: int = 1, ref_mel=None):
         """Parameter-count summary (reference uses torchinfo, synthesize.py:245-266)."""
