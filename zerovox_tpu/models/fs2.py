@@ -13,8 +13,6 @@ buckets), the length regulator is a vectorized gather
 
 from __future__ import annotations
 
-from typing import Any
-
 import flax.linen as nn
 import jax
 import jax.numpy as jnp
@@ -22,7 +20,7 @@ import numpy as np
 
 from zerovox_tpu.config import DecoderConfig, EncoderConfig, ModelConfig
 from zerovox_tpu.models.layers import SCLN, Conv1d, LayerNorm, get_sinusoid_encoding_table
-from zerovox_tpu.ops.length_regulator import get_mask_from_lengths, length_regulate
+from zerovox_tpu.ops.length_regulator import length_regulate
 
 
 class MultiHeadAttention(nn.Module):

@@ -13,8 +13,8 @@ of chunked streaming synthesis (zerovox_tpu/streaming.py).
 
 from __future__ import annotations
 
-from dataclasses import dataclass, field
-from typing import Any, Sequence
+from typing import Any
+from dataclasses import dataclass
 
 import flax.linen as nn
 import jax

@@ -9,8 +9,6 @@ channels) — the TPU-friendly layout — rather than torch's NCL.
 
 from __future__ import annotations
 
-from typing import Callable, Sequence
-
 import flax.linen as nn
 import jax
 import jax.numpy as jnp

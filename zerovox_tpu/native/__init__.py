@@ -7,7 +7,6 @@ pure-Python fallback so the framework runs without a compiler too.
 from __future__ import annotations
 
 import ctypes
-import os
 import subprocess
 from pathlib import Path
 

@@ -23,11 +23,10 @@ from __future__ import annotations
 
 import json
 import os
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 
 import numpy as np
 
-from zerovox_tpu.config import ZeroVoxConfig
 from zerovox_tpu.dsp.audio import (
     ffmpeg_loudnorm_resample,
     first_and_last_hop_above_threshold,

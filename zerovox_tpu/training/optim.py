@@ -10,8 +10,6 @@ f = (e+1)/warmup during warmup, then max(0.1, 0.5*(1+cos(pi*progress))).
 
 from __future__ import annotations
 
-import math
-
 import optax
 
 
