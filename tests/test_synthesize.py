@@ -142,3 +142,27 @@ class TestBf16Precision:
         assert w16.dtype == np.float32
         # bf16 inference stays within the 1e-2-scale fidelity envelope
         assert np.max(np.abs(w32 - w16)) < 5e-2
+
+
+class TestContinuousStreaming:
+    def test_multi_sentence_stream(self, synth):
+        spkemb = np.zeros((1, 1, synth.cfg.model.emb_size), dtype=np.float32)
+        text = "First sentence here. Second one follows! And a third?"
+        chunks = list(synth.tts_stream_text(text, spkemb, chunk_frames=32))
+        assert len(chunks) >= 3  # at least one chunk per sentence
+        total = np.concatenate(chunks)
+        # equals the concatenation of per-sentence synthesis
+        per_sentence = []
+        for s in ["First sentence here.", "Second one follows!", "And a third?"]:
+            wav, _, _ = synth.tts(s, spkemb)
+            per_sentence.append(wav)
+        np.testing.assert_allclose(total, np.concatenate(per_sentence), atol=1e-5)
+
+    def test_overlong_sentence_is_clause_split(self, synth):
+        spkemb = np.zeros((1, 1, synth.cfg.model.emb_size), dtype=np.float32)
+        # single "sentence" longer than max_txt_len (64 chars in the small cfg)
+        text = ("alpha beta gamma delta epsilon zeta, " * 4).strip()
+        assert len(text) > synth.cfg.model.max_txt_len
+        chunks = list(synth.tts_stream_text(text, spkemb, chunk_frames=32))
+        assert len(chunks) >= 2
+        assert sum(len(c) for c in chunks) > 0

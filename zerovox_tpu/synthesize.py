@@ -403,6 +403,35 @@ class ZeroVoxTTS:
 
         yield from streamer.chunks(mel_len, pos=0, first_wav=first_wav)
 
+    _SENTENCE_SPLIT = None
+
+    def tts_stream_text(self, text: str, spkemb, chunk_frames: int = 96):
+        """Continuous streaming over arbitrarily long text (the realtime
+        LLM-backend trace, BASELINE.md scenario 5): the text is split into
+        sentences/clauses, each synthesized and chunk-streamed back-to-back,
+        so first audio stays sub-100 ms regardless of input length and texts
+        longer than max_txt_len never hit one giant program."""
+        import re
+
+        if ZeroVoxTTS._SENTENCE_SPLIT is None:
+            ZeroVoxTTS._SENTENCE_SPLIT = re.compile(r"(?<=[.!?;:])\s+")
+
+        pieces: list[str] = []
+        for sentence in ZeroVoxTTS._SENTENCE_SPLIT.split(text.strip()):
+            sentence = sentence.strip()
+            if not sentence:
+                continue
+            # clause-split anything still over the text budget
+            while len(sentence) > self.cfg.model.max_txt_len:
+                cut = sentence.rfind(",", 0, self.cfg.model.max_txt_len)
+                cut = cut if cut > 0 else self.cfg.model.max_txt_len
+                pieces.append(sentence[:cut + 1])
+                sentence = sentence[cut + 1 :].strip()
+            pieces.append(sentence)
+
+        for piece in pieces:
+            yield from self.tts_stream(piece, spkemb, chunk_frames=chunk_frames)
+
     def warmup(self, texts=("This is a warmup utterance.",), spkemb=None,
                mel_buckets=None):
         """Compile the bucket programs ahead of serving. With `mel_buckets`
