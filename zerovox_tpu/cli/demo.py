@@ -104,7 +104,7 @@ def main():
         if args.stream:
             t0 = time.time()
             chunks = []
-            for i, chunk in enumerate(synth.tts_stream(args.text, spkemb)):
+            for i, chunk in enumerate(synth.tts_stream_text(args.text, spkemb)):
                 if i == 0:
                     print(f"first chunk after {1000 * (time.time() - t0):.1f} ms")
                 chunks.append(chunk)
