@@ -98,6 +98,55 @@ class Conv1d(nn.Module):
         return y
 
 
+def conv2d_im2col(x, kernel, stride=(1, 1), padding=(1, 1)):
+    """2-D conv as kh*kw shifted slices + one MXU matmul (same rationale as
+    conv1d_im2col: XLA's conv lowering on this backend is far slower than the
+    equivalent matmul for small-batch inference shapes).
+
+    x [B, H, W, C], kernel [kh, kw, Cin, Cout] (nn.Conv layout), zero padding.
+    """
+    kh, kw, Cin, Cout = kernel.shape
+    sh, sw = stride
+    ph, pw = padding
+    if ph or pw:
+        x = jnp.pad(x, ((0, 0), (ph, ph), (pw, pw), (0, 0)))
+    H, W = x.shape[1], x.shape[2]
+    Ho = (H - kh) // sh + 1
+    Wo = (W - kw) // sw + 1
+
+    taps = []
+    for i in range(kh):
+        rows = jax.lax.slice_in_dim(x, i, i + (Ho - 1) * sh + 1, sh, axis=1)
+        for j in range(kw):
+            taps.append(jax.lax.slice_in_dim(rows, j, j + (Wo - 1) * sw + 1, sw, axis=2))
+    patches = jnp.stack(taps, axis=3)  # [B, Ho, Wo, kh*kw, Cin]
+    return jnp.einsum("bhwkc,kco->bhwo", patches,
+                      kernel.reshape(kh * kw, Cin, Cout),
+                      preferred_element_type=jnp.float32)
+
+
+class Conv2d(nn.Module):
+    """2-D convolution (torch semantics, NHWC) via im2col matmul. Kernel
+    param layout matches flax nn.Conv ((kh, kw, in, out)), so checkpoint
+    conversion is unchanged."""
+
+    features: int
+    kernel_size: tuple[int, int] = (3, 3)
+    strides: tuple[int, int] = (1, 1)
+    padding: tuple[int, int] = (1, 1)
+    use_bias: bool = True
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        kh, kw = self.kernel_size
+        kernel = self.param("kernel", nn.initializers.lecun_normal(),
+                            (kh, kw, x.shape[-1], self.features))
+        y = conv2d_im2col(x, kernel, self.strides, self.padding)
+        if self.use_bias:
+            y = y + self.param("bias", nn.initializers.zeros, (self.features,))
+        return y
+
+
 class ConvTranspose1d(nn.Module):
     """Transposed 1-D convolution matching torch.nn.ConvTranspose1d.
 

@@ -18,7 +18,7 @@ import flax.linen as nn
 import jax
 import jax.numpy as jnp
 
-from zerovox_tpu.models.layers import BatchNorm
+from zerovox_tpu.models.layers import BatchNorm, Conv2d
 
 
 class SELayer(nn.Module):
@@ -50,18 +50,18 @@ class SEBasicBlock(nn.Module):
     def __call__(self, x):
         residual = x
 
-        out = nn.Conv(self.planes, (3, 3), strides=(self.stride, self.stride),
-                      padding=1, use_bias=False, name="conv1")(x)
+        out = Conv2d(self.planes, (3, 3), strides=(self.stride, self.stride),
+                     padding=(1, 1), use_bias=False, name="conv1")(x)
         out = jax.nn.relu(out)
         out = BatchNorm(self.planes, name="bn1")(out, use_running_average=not self.train)
 
-        out = nn.Conv(self.planes, (3, 3), padding=1, use_bias=False, name="conv2")(out)
+        out = Conv2d(self.planes, (3, 3), padding=(1, 1), use_bias=False, name="conv2")(out)
         out = BatchNorm(self.planes, name="bn2")(out, use_running_average=not self.train)
         out = SELayer(self.planes, name="se")(out)
 
         if self.downsample:
-            residual = nn.Conv(self.planes, (1, 1), strides=(self.stride, self.stride),
-                               use_bias=False, name="downsample_conv")(x)
+            residual = Conv2d(self.planes, (1, 1), strides=(self.stride, self.stride),
+                              padding=(0, 0), use_bias=False, name="downsample_conv")(x)
             residual = BatchNorm(self.planes, name="downsample_bn")(residual, use_running_average=not self.train)
 
         return jax.nn.relu(out + residual)
@@ -90,7 +90,7 @@ class ResNetSE34V2(nn.Module):
         # [B, H=n_mels, W=T, C=1] (freq as height, time as width, as in torch)
         x = jnp.transpose(x, (0, 2, 1))[..., None]
 
-        x = nn.Conv(self.num_filters[0], (3, 3), padding=1, use_bias=True, name="conv1")(x)
+        x = Conv2d(self.num_filters[0], (3, 3), padding=(1, 1), use_bias=True, name="conv1")(x)
         x = jax.nn.relu(x)
         x = BatchNorm(self.num_filters[0], name="bn1")(x, use_running_average=not train)
 
