@@ -220,3 +220,34 @@ class TestLossSemantics:
             + 2 * float(out["energy_loss"]) + float(out["duration_loss"]),
             rtol=1e-6,
         )
+
+
+class TestMixedPrecision:
+    def test_bf16_mixed_train_step(self, datamodule):
+        """bf16-mixed forward/backward with f32 master weights: loss finite,
+        params stay f32 and still learn."""
+        import jax.numpy as jnp
+
+        cfg = tiny_cfg()
+        mesh = make_mesh(MeshConfig(data=8), devices=jax.devices()[:8])
+        tcfg = TrainerConfig(max_epochs=1, batch_size=8, out_folder="/tmp/zvx_bf16",
+                             precision="bf16-mixed", seed=0)
+        trainer = Trainer(cfg, tcfg, steps_per_epoch=1, mesh=mesh)
+
+        batch = device_batch(next(iter(datamodule.train_dataloader())))
+        state = trainer.init_state(batch)
+        from zerovox_tpu.parallel.mesh import shard_batch
+
+        sb = shard_batch(batch, mesh)
+        l0 = None
+        for _ in range(4):
+            state, losses = trainer._train_step(state, sb, jax.random.PRNGKey(0))
+            if l0 is None:
+                l0 = float(losses["loss"])
+        lN = float(losses["loss"])
+        assert np.isfinite(l0) and np.isfinite(lN)
+        assert lN < l0
+        # master weights and batch stats remain f32
+        assert jax.tree.leaves(state.params)[0].dtype == jnp.float32
+        for leaf in jax.tree.leaves(state.batch_stats):
+            assert leaf.dtype == jnp.float32

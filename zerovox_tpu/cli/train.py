@@ -140,6 +140,7 @@ def main(argv=None):
         max_epochs=args.max_epochs, warmup_epochs=args.warmup_epochs,
         batch_size=args.batch_size, out_folder=args.out_folder, name=args.name,
         train_decoder_only=args.train_decoder_only,
+        precision="bf16-mixed" if "16" in str(args.precision) else "32",
     )
     trainer = Trainer(cfg, tcfg, steps_per_epoch=datamodule.steps_per_epoch(), mesh=mesh)
 

@@ -69,19 +69,37 @@ def make_train_step(
     model: ZeroVox,
     tx: optax.GradientTransformation,
     train_decoder_only: bool = False,
+    precision: str = "32",
 ) -> Callable:
+    """precision="bf16-mixed" runs the forward/backward in bfloat16 with f32
+    master weights and f32 optimizer state (the TPU analogue of the
+    reference's Lightning `--precision 16-mixed` default,
+    utils/train_tts.py:51; bf16 needs no loss scaling)."""
+    mixed = precision in ("bf16-mixed", "bf16", "16-mixed")
+
+    def _half(tree):
+        return jax.tree.map(
+            lambda x: x.astype(jnp.bfloat16)
+            if hasattr(x, "dtype") and x.dtype == jnp.float32 else x, tree)
+
     def train_step(state: TrainState, batch: dict, rng: jax.Array):
         rng = jax.random.fold_in(rng, state.step)
+        comp_batch = _half(batch) if mixed else batch
 
         def loss_fn(params):
+            comp_params = _half(params) if mixed else params
             outs, mutated = model.apply(
-                {"params": params, "batch_stats": state.batch_stats},
-                batch,
+                {"params": comp_params, "batch_stats": state.batch_stats},
+                comp_batch,
                 train=True,
                 spkemb_train=not train_decoder_only,
                 rngs={"dropout": rng},
                 mutable=["batch_stats"],
             )
+            if mixed:
+                outs = jax.tree.map(
+                    lambda x: x.astype(jnp.float32)
+                    if hasattr(x, "dtype") and x.dtype == jnp.bfloat16 else x, outs)
             losses = zerovox_loss(outs, batch)
             return losses["loss"], (losses, mutated["batch_stats"])
 
@@ -90,6 +108,11 @@ def make_train_step(
         new_params = optax.apply_updates(state.params, updates)
         if train_decoder_only:
             new_stats = state.batch_stats  # frozen spkemb keeps its stats
+        elif mixed:
+            # keep running statistics in f32 regardless of compute dtype
+            new_stats = jax.tree.map(
+                lambda x: x.astype(jnp.float32)
+                if hasattr(x, "dtype") and x.dtype == jnp.bfloat16 else x, new_stats)
 
         new_state = state.replace(
             params=new_params,
@@ -112,6 +135,7 @@ class TrainerConfig:
     log_every_n_steps: int = 1
     keep_checkpoints: int = 0  # 0 = keep all (reference save_top_k=max_epochs)
     train_decoder_only: bool = False
+    precision: str = "32"  # "32" | "bf16-mixed"
     seed: int = 42
 
 
@@ -167,7 +191,8 @@ class Trainer:
                            opt_state=opt_state, step=jnp.zeros((), jnp.int32))
         state = replicate(state, self.mesh)
         self._train_step = make_train_step(self.model, self.tx,
-                                           train_decoder_only=self.tcfg.train_decoder_only)
+                                           train_decoder_only=self.tcfg.train_decoder_only,
+                                           precision=self.tcfg.precision)
         return state
 
     def restore_into(self, state: TrainState, variables: dict,
