@@ -20,8 +20,14 @@ def _stub_torchaudio():
         return
     import torch
 
+    import importlib.machinery
+
     ta = types.ModuleType("torchaudio")
     tat = types.ModuleType("torchaudio.transforms")
+    # transformers probes importlib.util.find_spec("torchaudio"), which
+    # raises if a stub module has __spec__ = None
+    ta.__spec__ = importlib.machinery.ModuleSpec("torchaudio", None)
+    tat.__spec__ = importlib.machinery.ModuleSpec("torchaudio.transforms", None)
 
     class _FakeMelSpectrogram(torch.nn.Module):
         def __init__(self, **kwargs):

@@ -53,7 +53,9 @@ def main(argv=None):
     parser.add_argument("-m", "--min-alignment-score", type=float, default=0.9)
     parser.add_argument("-b", "--batch-size", type=int, default=4)
     parser.add_argument("--aligner", type=str, default=None,
-                        help="alignment model: HF wav2vec2-CTC checkpoint path, or 'pseudo'")
+                        help="alignment model (required): HF wav2vec2-CTC checkpoint "
+                             "path, 'tone' (bundled tone-speak CTC), or 'pseudo' "
+                             "(explicitly accept NON-PHONETIC test alignments)")
     parser.add_argument("-v", "--verbose", action="store_true")
     args = parser.parse_args(argv)
 

@@ -111,12 +111,34 @@ class Wav2Vec2Aligner(AlignerBase):  # pragma: no cover - needs local weights
 
 
 def make_aligner(spec: str | None = None) -> AlignerBase:
-    """Resolve an aligner: a HF checkpoint path/name, or the pseudo fallback
-    ('pseudo' / unset / unresolvable)."""
-    if spec and spec != "pseudo":
-        try:
-            return Wav2Vec2Aligner(spec)
-        except Exception as e:
-            print(f"warning: could not load aligner '{spec}' ({e}); "
-                  f"falling back to EnergyPseudoAligner")
-    return EnergyPseudoAligner()
+    """Resolve an aligner spec. Never falls back silently: corpora aligned
+    with the energy-ramp pseudo aligner get non-phonetic duration targets
+    that corrupt all downstream training, so 'pseudo' must be explicit and
+    a requested model that cannot load is a hard error (the reference always
+    uses a real CTC model, utils/preprocess.py:333-342).
+
+    Specs: 'pseudo' | 'tone' (built-in tone-speak CTC, for synthetic
+    corpora/tests) | any HF wav2vec2-CTC checkpoint path/name.
+    """
+    if spec is None:
+        raise ValueError(
+            "no alignment model specified. Pass --aligner <wav2vec2-ctc "
+            "checkpoint path> for real corpora, --aligner tone for synthetic "
+            "tone-speak corpora, or --aligner pseudo to explicitly accept "
+            "NON-PHONETIC energy-ramp alignments (pipeline testing only).")
+    if spec == "pseudo":
+        print("warning: using EnergyPseudoAligner — alignments are "
+              "energy-uniform, NOT phonetic; do not train production "
+              "models on this corpus")
+        return EnergyPseudoAligner()
+    if spec == "tone":
+        from zerovox_tpu.preprocess.tone_ctc import ToneCTCAligner
+
+        return ToneCTCAligner()
+    try:
+        return Wav2Vec2Aligner(spec)
+    except Exception as e:
+        raise RuntimeError(
+            f"could not load alignment model '{spec}': {e}. Refusing to "
+            f"fall back to the pseudo aligner; pass --aligner pseudo "
+            f"explicitly if you really want fabricated alignments.") from e
