@@ -3,9 +3,11 @@
 Per-epoch checkpoints with metadata (epoch, loss, step), mirroring the
 reference's Lightning per-epoch .ckpt discipline (utils/train_tts.py:280-291)
 but as self-contained msgpack files (flax.serialization) that need no torch.
-Orbax is used for large sharded state when a mesh is active; the msgpack path
-is the portable inference artifact (`checkpoints/NNNN.msgpack`, discovered by
-ZeroVoxTTS.load_model alongside torch .ckpt files).
+The msgpack path is the portable inference artifact
+(`checkpoints/NNNN.msgpack`, discovered by ZeroVoxTTS.load_model alongside
+torch .ckpt files). save_orbax/restore_orbax checkpoint the FULL TrainState
+(params + optimizer state, sharding-aware) for multi-host or resumable
+training; Trainer uses them when TrainerConfig.checkpoint_format="orbax".
 """
 
 from __future__ import annotations

@@ -12,8 +12,11 @@ model.py:411-459) with a TPU-native loop:
     decoder (reference utils/train_tts.py:256-277 semantics);
   * per-step scalar logging to TensorBoard (tensorboardX) + epoch averages,
     RSS memory print per epoch (reference model.py:437-442);
-  * orbax checkpoint per epoch keyed on train loss (reference
-    ZVModelCheckpointCheckpoint, utils/train_tts.py:112-119, 280-291).
+  * per-epoch checkpoints keyed on train loss (reference
+    ZVModelCheckpointCheckpoint, utils/train_tts.py:112-119, 280-291):
+    portable flax-msgpack files by default, or orbax sharded checkpoints
+    of the full TrainState (TrainerConfig.checkpoint_format="orbax") for
+    multi-host / resumable optimizer state.
 """
 
 from __future__ import annotations
@@ -132,10 +135,15 @@ class TrainerConfig:
     batch_size: int = 24
     out_folder: str = "mymodel1"
     name: str | None = None
-    log_every_n_steps: int = 1
+    # per-step device->host loss fetches block the dispatch stream (~30 ms
+    # RTT on remote TPU backends — a third of a measured 97 ms step), so
+    # scalars are fetched every N steps and epoch averages are computed from
+    # one batched device_get at epoch end
+    log_every_n_steps: int = 50
     keep_checkpoints: int = 0  # 0 = keep all (reference save_top_k=max_epochs)
     train_decoder_only: bool = False
     precision: str = "32"  # "32" | "bf16-mixed"
+    checkpoint_format: str = "msgpack"  # "msgpack" | "orbax" (sharded TrainState)
     seed: int = 42
 
 
@@ -211,6 +219,9 @@ class Trainer:
 
     def _get_writer(self):
         if self._writer is None:
+            if jax.process_index() != 0:  # one tensorboard writer per job
+                self._writer = False
+                return self._writer
             try:
                 from tensorboardX import SummaryWriter
 
@@ -241,26 +252,36 @@ class Trainer:
             ckpt_root = os.path.join(ckpt_root, self.tcfg.name)
         os.makedirs(ckpt_root, exist_ok=True)
 
+        host_step = getattr(self, "_host_step", 0)
         for epoch in range(start_epoch, self.tcfg.max_epochs):
             t0 = time.time()
-            epoch_losses: list[dict] = []
+            # device scalars accumulated without blocking; fetched in one
+            # batched device_get at epoch end (and every log_every_n_steps
+            # for tensorboard/NaN checks)
+            pending: list[dict] = []
             for batch in batches_per_epoch():
                 batch = device_batch(batch)
                 batch = shard_batch(batch, self.mesh)
                 state, losses = self._train_step(state, batch, rng)
-                step = int(state.step)
-                if step % self.tcfg.log_every_n_steps == 0:
-                    host_losses = {k: float(v) for k, v in losses.items()}
+                host_step += 1
+                pending.append(losses)
+                if host_step % self.tcfg.log_every_n_steps == 0:
+                    host_losses = jax.device_get(losses)
                     if not np.isfinite(host_losses["duration_loss"]):
-                        print(f"*** error: invalid duration loss detected: {host_losses['duration_loss']}")
+                        print(f"*** error: invalid duration loss detected: "
+                              f"{host_losses['duration_loss']}")
                     self._log_scalars(
                         {"loss": host_losses["loss"], "mel": host_losses["mel_loss"],
                          "pitch": host_losses["pitch_loss"], "energy": host_losses["energy_loss"],
                          "dur": host_losses["duration_loss"]},
-                        step,
+                        host_step,
                     )
-                    epoch_losses.append(host_losses)
 
+            epoch_losses = [
+                {k: float(v) for k, v in d.items()}
+                for d in jax.device_get(pending)
+            ]
+            self._host_step = host_step
             self._on_epoch_end(epoch, epoch_losses, state, ckpt_root, t0)
         return state
 
@@ -278,19 +299,25 @@ class Trainer:
 
         if epoch_losses:
             avg = {k: float(np.mean([l[k] for l in epoch_losses])) for k in epoch_losses[0]}
-            step = int(state.step)
+            step = getattr(self, "_host_step", 0)
             self._log_scalars({"aloss": avg["loss"], "amel": avg["mel_loss"],
                                "apitch": avg["pitch_loss"], "aenergy": avg["energy_loss"],
                                "adur": avg["duration_loss"],
-                               "lr": float(self.schedule(state.step))}, step)
+                               "lr": float(self.schedule(jnp.asarray(step)))}, step)
             print(f"epoch {epoch}: loss={avg['loss']:.4f} mel={avg['mel_loss']:.4f} "
                   f"({time.time() - t0:.1f}s)")
 
-            path = os.path.join(ckpt_root, f"{epoch:04d}.msgpack")
-            save_native_checkpoint(path, {"params": state.params,
-                                          "batch_stats": state.batch_stats},
-                                   meta={"epoch": epoch, "loss": avg["loss"],
-                                         "step": int(state.step)})
+            if self.tcfg.checkpoint_format == "orbax":
+                from zerovox_tpu.training.checkpointing import save_orbax
+
+                # orbax coordinates across processes itself
+                save_orbax(os.path.join(ckpt_root, "orbax"), state, step=epoch)
+            elif jax.process_index() == 0:
+                path = os.path.join(ckpt_root, f"{epoch:04d}.msgpack")
+                save_native_checkpoint(path, {"params": state.params,
+                                              "batch_stats": state.batch_stats},
+                                       meta={"epoch": epoch, "loss": avg["loss"],
+                                             "step": step})
             if self.tcfg.keep_checkpoints > 0:
                 ckpts = sorted(f for f in os.listdir(ckpt_root) if f.endswith(".msgpack"))
                 for old in ckpts[: -self.tcfg.keep_checkpoints]:
