@@ -285,6 +285,64 @@ def convert_hifigan_generator(sd: _SD, cfg) -> dict:
     return params
 
 
+def _fold_spectral_norm(w_orig, u, v) -> np.ndarray:
+    """spectral_norm eval-mode weight: w_orig / sigma, sigma = u^T W v with
+    the stored power-iteration vectors (torch keeps u/v fixed in eval)."""
+    w = _np(w_orig)
+    u = _np(u)
+    v = _np(v)
+    sigma = u @ w.reshape(w.shape[0], -1) @ v
+    return w / sigma
+
+
+def _disc_weight(sd: _SD, key: str) -> np.ndarray:
+    """Effective discriminator conv weight: plain / weight_norm / spectral_norm."""
+    if key + ".weight" in sd:
+        return _np(sd[key + ".weight"])
+    if key + ".weight_g" in sd:
+        return _fold_weight_norm(sd[key + ".weight_g"], sd[key + ".weight_v"])
+    return _fold_spectral_norm(sd[key + ".weight_orig"], sd[key + ".weight_u"],
+                               sd[key + ".weight_v"])
+
+
+def convert_hifigan_mpd(state_dict: dict, periods=(2, 3, 5, 7, 11)) -> dict:
+    """MultiPeriodDiscriminator state dict -> flax params
+    (reference hifigan.py:142-203; Conv2d OIHW -> flax HWIO)."""
+    sd = _SD(state_dict)
+    params = {}
+    for i, p in enumerate(periods):
+        d = sd.sub(f"discriminators.{i}.")
+        dp = {}
+        for j in range(5):
+            w = _disc_weight(d, f"convs.{j}")
+            dp[f"convs_{j}"] = {"kernel": np.transpose(w, (2, 3, 1, 0)).copy(),
+                                "bias": _np(d[f"convs.{j}.bias"])}
+        w = _disc_weight(d, "conv_post")
+        dp["conv_post"] = {"kernel": np.transpose(w, (2, 3, 1, 0)).copy(),
+                           "bias": _np(d["conv_post.bias"])}
+        params[f"disc_p{p}"] = dp
+    return params
+
+
+def convert_hifigan_msd(state_dict: dict) -> dict:
+    """MultiScaleDiscriminator state dict -> flax params (reference
+    hifigan.py:205-262; scale 0 is spectral-normed, Conv1d OIK -> KIO)."""
+    sd = _SD(state_dict)
+    params = {}
+    for i in range(3):
+        d = sd.sub(f"discriminators.{i}.")
+        ds = {}
+        for j in range(7):
+            w = _disc_weight(d, f"convs.{j}")
+            ds[f"convs_{j}"] = {"kernel": np.transpose(w, (2, 1, 0)).copy(),
+                                "bias": _np(d[f"convs.{j}.bias"])}
+        w = _disc_weight(d, "conv_post")
+        ds["conv_post"] = {"kernel": np.transpose(w, (2, 1, 0)).copy(),
+                           "bias": _np(d["conv_post.bias"])}
+        params[f"disc_s{i}"] = ds
+    return params
+
+
 # ------------------------------------------------------------------ top level
 
 
