@@ -66,6 +66,7 @@ def main(argv=None):
         corpora=corpora, symbols=symbols, stats=modelcfg["stats"],
         num_bins=modelcfg["model"]["encoder"]["ve_n_bins"],
         batch_size=args.batch_size, num_workers=args.num_workers,
+        drop_last=False,  # export every sample; tail batch is wrap-padded
     )
     datamodule.prepare_data()
 
@@ -99,7 +100,7 @@ def main(argv=None):
             mels = batch["mel"]
         wavs = np.asarray(vocode(synth._meldec_variables, mels))
 
-        for i in range(wavs.shape[0]):
+        for i in range(wavs.shape[0] - x.get("pad_items", 0)):
             cnt += 1
             split = "dev" if cnt % 100 == 0 else "train"
             out_dir = os.path.join(args.out_dir, split,

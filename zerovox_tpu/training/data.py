@@ -198,7 +198,8 @@ class SpeechDataModule:
 
     def __init__(self, corpora, symbols: Symbols, stats: dict, num_bins: int = 256,
                  batch_size: int = 64, num_workers: int = 4, seed: int = 0,
-                 ref_mel_len: int = MAX_REF_LEN, base_path: str | None = None):
+                 ref_mel_len: int = MAX_REF_LEN, base_path: str | None = None,
+                 drop_last: bool = True):
         self.corpora = corpora
         self._symbols = symbols
         self._stats = stats
@@ -207,6 +208,11 @@ class SpeechDataModule:
         self._rng = np.random.default_rng(seed)
         self._ref_mel_len = ref_mel_len
         self._base_path = base_path
+        # drop_last=False keeps remainder samples by padding the tail batch
+        # with wrap-around duplicates (static batch shape, no recompile);
+        # x["pad_items"] counts the duplicates at the END of such a batch.
+        # Exporters need every sample; the training loop keeps drop_last.
+        self.drop_last = drop_last
         self.train_dataset: SpeechDataset | None = None
 
     def prepare_data(self):
@@ -218,18 +224,32 @@ class SpeechDataModule:
         return max(1, len(self.train_dataset) // self.batch_size)
 
     def _batch_indices(self):
-        """Shuffle, then group size-adjacent items so bucket padding is tight."""
+        """Shuffle, then group size-adjacent items so bucket padding is tight.
+
+        Returns a list of (index_array, n_pad) pairs; n_pad > 0 only on the
+        tail batch when drop_last=False (wrap-around duplicate indices).
+        """
         ds = self.train_dataset
         idx = self._rng.permutation(len(ds))
         # coarse length-sort within shuffled chunks keeps batches length-homogeneous
         chunk = self.batch_size * 32
         batches = []
+        leftovers = []
         for c0 in range(0, len(idx), chunk):
             part = idx[c0 : c0 + chunk]
             lens = np.asarray([len(ds.samples[i].phonemes) for i in part])
             part = part[np.argsort(lens, kind="stable")]
-            for b0 in range(0, len(part) - self.batch_size + 1, self.batch_size):
-                batches.append(part[b0 : b0 + self.batch_size])
+            n_full = (len(part) // self.batch_size) * self.batch_size
+            for b0 in range(0, n_full, self.batch_size):
+                batches.append((part[b0 : b0 + self.batch_size], 0))
+            leftovers.extend(part[n_full:])
+        if not self.drop_last:
+            for b0 in range(0, len(leftovers), self.batch_size):
+                b = np.asarray(leftovers[b0 : b0 + self.batch_size])
+                n_pad = self.batch_size - len(b)
+                if n_pad:
+                    b = np.concatenate([b, idx[:n_pad]])
+                batches.append((b, n_pad))
         self._rng.shuffle(batches)
         return batches
 
@@ -242,9 +262,11 @@ class SpeechDataModule:
         stop = object()
 
         def worker(batch_list):
-            for bidx in batch_list:
+            for bidx, n_pad in batch_list:
                 items = [ds.load_item(int(i)) for i in bidx]
-                q.put(collate(items, self._rng, ref_mel_len=self._ref_mel_len))
+                x, y = collate(items, self._rng, ref_mel_len=self._ref_mel_len)
+                x["pad_items"] = n_pad
+                q.put((x, y))
             q.put(stop)
 
         n_workers = min(self.num_workers, max(1, len(batches)))
