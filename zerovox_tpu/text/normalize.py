@@ -11,8 +11,11 @@ replaced by spaces and whitespace collapsed (the alignment-target string).
 
 The reference delegates verbalization to NeMo's WFST normalizer; when
 `nemo_text_processing` is importable we do the same, otherwise a rule-based
-normalizer covering cardinals, ordinals, decimals, currency, percent, time,
-years and common abbreviations for en/de is used.
+normalizer is used covering cardinals, ordinals, decimals, dates (name,
+numeric and ISO formats), roman numerals, fractions, numeric ranges,
+currency, percent, time (with seconds and am/pm), units, years and common
+abbreviations for en/de (behavior battery mirrors reference
+utils/nemo_test.py:14-68; tests/test_text.py).
 """
 
 from __future__ import annotations
@@ -39,9 +42,50 @@ _ABBREV = {
         "dr": "doktor", "prof": "professor", "nr": "nummer",
         "str": "straße", "z.b": "zum beispiel", "bzw": "beziehungsweise",
         "usw": "und so weiter", "ca": "circa", "ggf": "gegebenenfalls",
-        "evtl": "eventuell", "inkl": "inklusive",
+        "evtl": "eventuell", "inkl": "inklusive", "d.h": "das heißt",
+        "u.a": "unter anderem", "bzgl": "bezüglich",
     },
 }
+
+_MONTHS_EN = ["january", "february", "march", "april", "may", "june", "july",
+              "august", "september", "october", "november", "december"]
+_MONTH_ABBR_EN = {m[:3]: m for m in _MONTHS_EN}
+_MONTH_ABBR_EN["sept"] = "september"
+_MONTHS_DE = ["januar", "februar", "märz", "april", "mai", "juni", "juli",
+              "august", "september", "oktober", "november", "dezember"]
+_MONTH_ABBR_DE = {m[:3]: m for m in _MONTHS_DE}
+_MONTH_ABBR_DE["mär"] = "märz"
+
+_UNITS = {
+    "en": {"kg": ("kilogram", "kilograms"), "km": ("kilometer", "kilometers"),
+           "cm": ("centimeter", "centimeters"), "mm": ("millimeter", "millimeters"),
+           "ml": ("milliliter", "milliliters"), "mph": ("mile per hour", "miles per hour"),
+           "kb": ("kilobyte", "kilobytes"), "mb": ("megabyte", "megabytes"),
+           "gb": ("gigabyte", "gigabytes")},
+    "de": {"kg": ("kilogramm", "kilogramm"), "km": ("kilometer", "kilometer"),
+           "cm": ("zentimeter", "zentimeter"), "mm": ("millimeter", "millimeter"),
+           "ml": ("milliliter", "milliliter"), "kb": ("kilobyte", "kilobyte"),
+           "mb": ("megabyte", "megabyte"), "gb": ("gigabyte", "gigabyte")},
+}
+
+_ROMAN_VALUES = {"I": 1, "V": 5, "X": 10, "L": 50, "C": 100, "D": 500, "M": 1000}
+# all-roman-letter tokens that are (far) more likely ordinary words/acronyms
+_ROMAN_BLOCKLIST = {"MIX", "CD", "DC", "MD", "CM", "MM", "DI", "LI", "MI", "XL"}
+
+
+def _roman_to_int(s: str) -> int | None:
+    """Strict roman-numeral parse; None when malformed (e.g. 'DID')."""
+    if not re.fullmatch(
+            r"M{0,3}(CM|CD|D?C{0,3})(XC|XL|L?X{0,3})(IX|IV|V?I{0,3})", s) or not s:
+        return None
+    total = 0
+    for i, c in enumerate(s):
+        v = _ROMAN_VALUES[c]
+        if i + 1 < len(s) and _ROMAN_VALUES[s[i + 1]] > v:
+            total -= v
+        else:
+            total += v
+    return total
 
 _CURRENCY = {
     "en": {"$": ("dollar", "dollars", "cent", "cents"),
@@ -71,6 +115,183 @@ class _RuleBasedVerbalizer:
             return self.num.year_to_words(n)
         return self.num.number_to_words(n)
 
+    def _day_word(self, d: int) -> str:
+        if self.lang == "de":
+            return self.num.ordinal_to_words(d) + "r"  # "erster januar"
+        return self.num.ordinal_to_words(d)
+
+    def _month_name(self, m: int) -> str:
+        months = _MONTHS_DE if self.lang == "de" else _MONTHS_EN
+        return months[m - 1] if 1 <= m <= 12 else str(m)
+
+    # -- rule groups ----------------------------------------------------------
+
+    def _dates(self, text: str) -> str:
+        """Name, numeric and ISO date formats (reference NeMo battery:
+        'January 1st, 2024', 'Jan 1, 2024', '1/1/2024', '1. Januar 2024',
+        '1.1.2024', '10.05.2024', '2024-12-25')."""
+        num = self.num
+
+        def ymd(y, m, d):
+            y_w = self._maybe_year(str(y))
+            if self.lang == "de":
+                return f"{self._day_word(d)} {self._month_name(m)} {y_w}"
+            return f"{self._month_name(m)} {self._day_word(d)} {y_w}"
+
+        # ISO YYYY-MM-DD
+        text = re.sub(r"\b(\d{4})-(\d{2})-(\d{2})\b",
+                      lambda m: ymd(int(m.group(1)), int(m.group(2)), int(m.group(3))),
+                      text)
+
+        if self.lang == "de":
+            months = "|".join(_MONTHS_DE + list(_MONTH_ABBR_DE))
+            # 1. Januar 2024 / 1. Januar
+            def de_name(m):
+                d = int(m.group(1))
+                mon = m.group(2).lower().rstrip(".")
+                mon = _MONTH_ABBR_DE.get(mon, mon)
+                out = f"{self._day_word(d)} {mon}"
+                if m.group(3):
+                    out += " " + self._maybe_year(m.group(3))
+                return out
+
+            text = re.sub(rf"\b(\d{{1,2}})\.\s*({months})\.?\s*(\d{{4}})?\b",
+                          de_name, text, flags=re.IGNORECASE)
+            # 1.1.2024 / 10.05.2024
+            text = re.sub(
+                r"\b(\d{1,2})\.(\d{1,2})\.(\d{4})\b",
+                lambda m: ymd(int(m.group(3)), int(m.group(2)), int(m.group(1))),
+                text)
+        else:
+            months = "|".join(_MONTHS_EN + list(_MONTH_ABBR_EN))
+            # January 1st, 2024 / Jan 1, 2024 / May 23 1984 / January 1st
+            def en_name(m):
+                mon = m.group(1).lower().rstrip(".")
+                mon = _MONTH_ABBR_EN.get(mon, mon)
+                out = f"{mon} {self._day_word(int(m.group(2)))}"
+                if m.group(3):
+                    out += " " + self._maybe_year(m.group(3))
+                return out
+
+            text = re.sub(
+                rf"\b({months})\.?\s+(\d{{1,2}})(?:st|nd|rd|th)?\s*,?\s*(\d{{4}})?\b",
+                en_name, text, flags=re.IGNORECASE)
+            # M/D/YYYY
+            text = re.sub(
+                r"\b(\d{1,2})/(\d{1,2})/(\d{4})\b",
+                lambda m: ymd(int(m.group(3)), int(m.group(1)), int(m.group(2))),
+                text)
+        return text
+
+    def _times(self, text: str) -> str:
+        """HH:MM[:SS] with optional am/pm / 'Uhr' context."""
+        num = self.num
+        lang = self.lang
+
+        def time_sub(m):
+            h, mm = int(m.group(1)), int(m.group(2))
+            ss = int(m.group(3)) if m.group(3) else None
+            suffix = (m.group(4) or "").replace(".", "").replace(" ", "").lower()
+            if lang == "de":
+                out = num.number_to_words(h) + " uhr"
+                if mm:
+                    out += " " + num.number_to_words(mm)
+                if ss:
+                    out += " und " + num.number_to_words(ss) + " sekunden"
+                return out
+            out = num.number_to_words(h)
+            if mm == 0:
+                out += "" if suffix else " o'clock"
+            elif mm < 10:
+                out += " oh " + num.number_to_words(mm)
+            else:
+                out += " " + num.number_to_words(mm)
+            if ss:
+                out += " and " + num.number_to_words(ss) + " seconds"
+            if suffix == "am":
+                out += " a m"
+            elif suffix == "pm":
+                out += " p m"
+            return out
+
+        pattern = r"\b(\d{1,2}):(\d{2})(?::(\d{2}))?(?:\s*(AM|PM|am|pm|a\.m\.|p\.m\.)\b)?"
+        if lang == "de":
+            # consume a following literal "Uhr" — verbalized as part of the time
+            pattern += r"(?:\s*[Uu]hr\b)?"
+        return re.sub(pattern, time_sub, text)
+
+    def _roman(self, text: str) -> str:
+        """Standalone uppercase roman numerals -> cardinals ('Chapter IV' ->
+        'chapter four'); single letters and common collisions excluded."""
+        def sub(m):
+            tok = m.group(0)
+            if tok in _ROMAN_BLOCKLIST:
+                return tok
+            n = _roman_to_int(tok)
+            return self.num.number_to_words(n) if n else tok
+
+        return re.sub(r"\b[IVXLCDM]{2,}\b", sub, text)
+
+    def _frac_words(self, a: int, b: int) -> str:
+        num = self.num
+        if self.lang == "de":
+            denoms = {2: "halb", 3: "drittel", 4: "viertel"}
+            d = denoms.get(b, num.ordinal_to_words(b) + "l")
+            return f"{'ein' if a == 1 else num.number_to_words(a)} {d}"
+        denoms = {2: ("half", "halves"), 3: ("third", "thirds"),
+                  4: ("quarter", "quarters")}
+        if b in denoms:
+            d = denoms[b][0 if a == 1 else 1]
+        else:
+            d = num.ordinal_to_words(b) + ("" if a == 1 else "s")
+        return f"{num.number_to_words(a)} {d}"
+
+    def _fractions(self, text: str) -> str:
+        """1/2, 3/4, mixed 2 1/2 (dates are already consumed)."""
+        conj = "und" if self.lang == "de" else "and"
+        text = re.sub(
+            r"\b(\d+)\s+(\d{1,2})/(\d{1,2})\b",
+            lambda m: f"{self.num.number_to_words(int(m.group(1)))} {conj} "
+                      f"{self._frac_words(int(m.group(2)), int(m.group(3)))}",
+            text)
+        return re.sub(
+            r"\b(\d{1,2})/(\d{1,2})\b",
+            lambda m: self._frac_words(int(m.group(1)), int(m.group(2))),
+            text)
+
+    def _ranges(self, text: str) -> str:
+        """Numeric ranges: 10-20 -> 'ten to twenty' / 'zehn bis zwanzig';
+        1939-1945 reads both ends as years."""
+        word = "bis" if self.lang == "de" else "to"
+
+        def sub(m):
+            a, b = int(m.group(1)), int(m.group(2))
+            if 1100 <= a <= 2099 and 1100 <= b <= 2099 and b >= a:
+                return f"{self.num.year_to_words(a)} {word} {self.num.year_to_words(b)}"
+            if b < a:  # more likely a phone number / code than a range
+                return f"{self.num.number_to_words(a)} {word} {self.num.number_to_words(b)}"
+            return f"{self.num.number_to_words(a)} {word} {self.num.number_to_words(b)}"
+
+        return re.sub(r"\b(\d+)\s?[-–]\s?(\d+)\b", sub, text)
+
+    def _units(self, text: str) -> str:
+        num = self.num
+        per = "pro stunde" if self.lang == "de" else "per hour"
+        kmw = _UNITS[self.lang]["km"]
+        text = re.sub(
+            r"\b(\d+)\s?km/h\b",
+            lambda m: f"{num.number_to_words(int(m.group(1)))} "
+                      f"{kmw[0 if int(m.group(1)) == 1 else 1]} {per}",
+            text)
+        units = "|".join(_UNITS[self.lang])
+
+        def sub(m):
+            n = int(m.group(1))
+            u = _UNITS[self.lang][m.group(2).lower()]
+            return f"{num.number_to_words(n)} {u[0 if n == 1 else 1]}"
+
+        return re.sub(rf"\b(\d+)\s?({units})\b", sub, text, flags=re.IGNORECASE)
+
     # -- main ----------------------------------------------------------------
 
     def verbalize(self, text: str) -> str:
@@ -85,6 +306,9 @@ class _RuleBasedVerbalizer:
 
         abbrev_keys = "|".join(re.escape(k) for k in _ABBREV[lang])
         text = re.sub(rf"\b({abbrev_keys})\.(?=\s|$)", lambda m: abbrev_sub(m), text, flags=re.IGNORECASE)
+
+        # dates before everything numeric (they contain '/', '.', '-')
+        text = self._dates(text)
 
         # currency: $12.50 / 12,50 € / €5
         def currency_sub(m):
@@ -111,44 +335,36 @@ class _RuleBasedVerbalizer:
         pct_word = "prozent" if lang == "de" else "percent"
         text = re.sub(r"(\d+)\s?%", lambda m: self._cardinal(m.group(1)) + " " + pct_word, text)
 
-        # time HH:MM
-        def time_sub(m):
-            h, mm = int(m.group(1)), int(m.group(2))
-            if lang == "de":
-                out = num.number_to_words(h) + " uhr"
-                if mm:
-                    out += " " + num.number_to_words(mm)
-                return out
-            out = num.number_to_words(h)
-            if mm == 0:
-                out += " o'clock"
-            elif mm < 10:
-                out += " oh " + num.number_to_words(mm)
-            else:
-                out += " " + num.number_to_words(mm)
-            return out
+        # time HH:MM[:SS] (+am/pm), roman numerals, fractions, ranges, units
+        text = self._times(text)
+        text = self._roman(text)
+        text = self._fractions(text)
+        text = self._ranges(text)
+        text = self._units(text)
 
-        text = re.sub(r"\b(\d{1,2}):(\d{2})\b", time_sub, text)
-
-        # ordinals: English 1st/2nd/..., German 3. (digit followed by period
-        # then a lowercase word — heuristic to avoid sentence-final digits)
+        # ordinals: English 1st/2nd/..., German "3." before a word (German
+        # nouns are capitalized — "1. Übersicht", "2. Platz" — so any letter
+        # qualifies; dates were consumed above)
         if lang == "en":
             text = re.sub(r"\b(\d+)(st|nd|rd|th)\b", lambda m: num.ordinal_to_words(int(m.group(1))), text)
         else:
-            text = re.sub(r"\b(\d+)\.(?=\s+\p{Ll})" if False else r"\b(\d+)\.(?=\s+[a-zäöüß])",
+            text = re.sub(r"\b(\d+)\.(?=\s+[A-Za-zäöüßÄÖÜ])",
                           lambda m: num.ordinal_to_words(int(m.group(1))), text)
+
+        # thousands separators first — strip them (keeping any decimal part)
+        # so "1,234.56" / "1.234,56" fall through to the decimal rule
+        if lang == "en":
+            text = re.sub(r"\b\d{1,3}(?:,\d{3})+(?=\.\d|\b)",
+                          lambda m: m.group(0).replace(",", ""), text)
+        else:
+            text = re.sub(r"\b\d{1,3}(?:\.\d{3})+(?=,\d|\b)",
+                          lambda m: m.group(0).replace(".", ""), text)
 
         # decimals
         if lang == "de":
             text = re.sub(r"\b(\d+),(\d+)\b", lambda m: num.decimal_to_words(m.group(1), m.group(2)), text)
         else:
             text = re.sub(r"\b(\d+)\.(\d+)\b", lambda m: num.decimal_to_words(m.group(1), m.group(2)), text)
-
-        # thousands separators: 1,000,000 (en) / 1.000.000 (de)
-        if lang == "en":
-            text = re.sub(r"\b\d{1,3}(?:,\d{3})+\b", lambda m: num.number_to_words(int(m.group(0).replace(",", ""))), text)
-        else:
-            text = re.sub(r"\b\d{1,3}(?:\.\d{3})+\b", lambda m: num.number_to_words(int(m.group(0).replace(".", ""))), text)
 
         # remaining integers: 4-digit in year range read as years
         text = re.sub(r"\b\d{4}\b", lambda m: self._maybe_year(m.group(0)), text)

@@ -6,8 +6,13 @@ environment, so this module provides a self-contained romanizer that matches
 uroman's behavior on the languages the framework targets (en/de and other
 Latin-script European text): NFKD decomposition with combining-mark removal,
 plus explicit transliterations for letters that do not decompose (ß, æ, ø, þ,
-đ, ł, ...) and for Greek/Cyrillic letters so mixed-script input degrades
-gracefully. When the real `uroman` package is importable it is used instead.
+đ, ł, ...). Non-Latin scripts are covered so mixed-script input degrades
+gracefully: Greek, Cyrillic, Arabic, Hebrew, Devanagari (table-driven),
+Korean Hangul (algorithmic jamo decomposition, Revised-Romanization), and
+Japanese kana (with yōon digraphs, sokuon gemination and chōonpu). Han
+ideographs have no offline reading data (uroman ships megabyte-scale pinyin
+tables) and fall back to NFKD (dropped) — the one documented gap. When the
+real `uroman` package is importable it is used instead.
 """
 
 from __future__ import annotations
@@ -52,6 +57,100 @@ _CYRILLIC = {
 }
 
 
+_ARABIC = {
+    "ا": "a", "ب": "b", "ت": "t", "ث": "th", "ج": "j", "ح": "h", "خ": "kh",
+    "د": "d", "ذ": "dh", "ر": "r", "ز": "z", "س": "s", "ش": "sh", "ص": "s",
+    "ض": "d", "ط": "t", "ظ": "z", "ع": "'", "غ": "gh", "ف": "f", "ق": "q",
+    "ك": "k", "ل": "l", "م": "m", "ن": "n", "ه": "h", "و": "w", "ي": "y",
+    "ء": "'", "آ": "a", "أ": "a", "إ": "i", "ؤ": "u", "ئ": "i", "ة": "h",
+    "ى": "a", "ٱ": "a",
+    # short-vowel diacritics; tanwin/sukun/shadda dropped
+    "َ": "a", "ِ": "i", "ُ": "u",
+    "ً": "an", "ٍ": "in", "ٌ": "un",
+    "ْ": "", "ّ": "",
+}
+_ARABIC.update({chr(0x0660 + d): str(d) for d in range(10)})   # ٠-٩
+_ARABIC.update({chr(0x06F0 + d): str(d) for d in range(10)})   # ۰-۹
+
+_HEBREW = {
+    "א": "a", "ב": "b", "ג": "g", "ד": "d", "ה": "h", "ו": "v", "ז": "z",
+    "ח": "ch", "ט": "t", "י": "y", "כ": "k", "ך": "k", "ל": "l", "מ": "m",
+    "ם": "m", "נ": "n", "ן": "n", "ס": "s", "ע": "a", "פ": "p", "ף": "f",
+    "צ": "ts", "ץ": "ts", "ק": "q", "ר": "r", "ש": "sh", "ת": "t",
+}
+
+# Devanagari: consonants carry an inherent 'a' unless followed by a
+# dependent vowel sign (matra) or virama
+_DEVANAGARI_CONS = {
+    "क": "k", "ख": "kh", "ग": "g", "घ": "gh", "ङ": "ng",
+    "च": "ch", "छ": "chh", "ज": "j", "झ": "jh", "ञ": "ny",
+    "ट": "t", "ठ": "th", "ड": "d", "ढ": "dh", "ण": "n",
+    "त": "t", "थ": "th", "द": "d", "ध": "dh", "न": "n",
+    "प": "p", "फ": "ph", "ब": "b", "भ": "bh", "म": "m",
+    "य": "y", "र": "r", "ल": "l", "व": "v",
+    "श": "sh", "ष": "sh", "स": "s", "ह": "h",
+    "क़": "q", "ख़": "kh", "ग़": "gh", "ज़": "z", "ड़": "r", "ढ़": "rh", "फ़": "f",
+}
+_DEVANAGARI_VOWELS = {
+    "अ": "a", "आ": "aa", "इ": "i", "ई": "ii", "उ": "u", "ऊ": "uu",
+    "ऋ": "ri", "ए": "e", "ऐ": "ai", "ओ": "o", "औ": "au", "ऑ": "o",
+}
+_DEVANAGARI_MATRAS = {
+    "ा": "aa", "ि": "i", "ी": "ii", "ु": "u", "ू": "uu", "ृ": "ri",
+    "े": "e", "ै": "ai", "ो": "o", "ौ": "au", "ॉ": "o",
+}
+_DEVANAGARI_MISC = {"ं": "n", "ः": "h", "ँ": "n", "़": "", "्": ""}
+_DEVANAGARI_MISC.update({chr(0x0966 + d): str(d) for d in range(10)})  # ०-९
+
+# Hangul jamo (Revised Romanization)
+_HANGUL_LEADS = ("g", "kk", "n", "d", "tt", "r", "m", "b", "pp", "s", "ss",
+                 "", "j", "jj", "ch", "k", "t", "p", "h")
+_HANGUL_VOWELS = ("a", "ae", "ya", "yae", "eo", "e", "yeo", "ye", "o", "wa",
+                  "wae", "oe", "yo", "u", "wo", "we", "wi", "yu", "eu", "ui", "i")
+_HANGUL_TAILS = ("", "g", "kk", "gs", "n", "nj", "nh", "d", "l", "lg", "lm",
+                 "lb", "ls", "lt", "lp", "lh", "m", "b", "bs", "s", "ss",
+                 "ng", "j", "ch", "k", "t", "p", "h")
+
+# Hiragana -> Hepburn-ish romaji (katakana normalized onto this table)
+_KANA = {
+    "あ": "a", "い": "i", "う": "u", "え": "e", "お": "o",
+    "か": "ka", "き": "ki", "く": "ku", "け": "ke", "こ": "ko",
+    "が": "ga", "ぎ": "gi", "ぐ": "gu", "げ": "ge", "ご": "go",
+    "さ": "sa", "し": "shi", "す": "su", "せ": "se", "そ": "so",
+    "ざ": "za", "じ": "ji", "ず": "zu", "ぜ": "ze", "ぞ": "zo",
+    "た": "ta", "ち": "chi", "つ": "tsu", "て": "te", "と": "to",
+    "だ": "da", "ぢ": "ji", "づ": "zu", "で": "de", "ど": "do",
+    "な": "na", "に": "ni", "ぬ": "nu", "ね": "ne", "の": "no",
+    "は": "ha", "ひ": "hi", "ふ": "fu", "へ": "he", "ほ": "ho",
+    "ば": "ba", "び": "bi", "ぶ": "bu", "べ": "be", "ぼ": "bo",
+    "ぱ": "pa", "ぴ": "pi", "ぷ": "pu", "ぺ": "pe", "ぽ": "po",
+    "ま": "ma", "み": "mi", "む": "mu", "め": "me", "も": "mo",
+    "や": "ya", "ゆ": "yu", "よ": "yo",
+    "ら": "ra", "り": "ri", "る": "ru", "れ": "re", "ろ": "ro",
+    "わ": "wa", "ゐ": "wi", "ゑ": "we", "を": "o", "ん": "n",
+    "ぁ": "a", "ぃ": "i", "ぅ": "u", "ぇ": "e", "ぉ": "o", "ゔ": "vu",
+}
+_KANA_SMALL = {"ゃ": "ya", "ゅ": "yu", "ょ": "yo"}
+_SOKUON = "っ"
+_CHOONPU = "ー"
+
+
+def _hangul_syllable(cp: int) -> str:
+    idx = cp - 0xAC00
+    lead = idx // 588
+    vowel = (idx % 588) // 28
+    tail = idx % 28
+    return _HANGUL_LEADS[lead] + _HANGUL_VOWELS[vowel] + _HANGUL_TAILS[tail]
+
+
+def _norm_kana(ch: str) -> str:
+    """Katakana -> hiragana (same syllabary, fixed offset)."""
+    cp = ord(ch)
+    if 0x30A1 <= cp <= 0x30F6:
+        return chr(cp - 0x60)
+    return ch
+
+
 def _translit_char(ch: str) -> str:
     if ch in _SPECIAL:
         return _SPECIAL[ch]
@@ -62,9 +161,24 @@ def _translit_char(ch: str) -> str:
     if low in _CYRILLIC:
         out = _CYRILLIC[low]
         return out.capitalize() if ch.isupper() else out
-    # NFKD-decompose and drop combining marks
+    if ch in _ARABIC:
+        return _ARABIC[ch]
+    if ch in _HEBREW:
+        return _HEBREW[ch]
+    cp = ord(ch)
+    if 0xAC00 <= cp <= 0xD7A3:
+        return _hangul_syllable(cp)
+    if ch in _DEVANAGARI_VOWELS:
+        return _DEVANAGARI_VOWELS[ch]
+    if ch in _DEVANAGARI_MISC:
+        return _DEVANAGARI_MISC[ch]
+    # NFKD-decompose and drop combining marks; re-transliterate the base
+    # characters (e.g. Greek alpha-with-tonos decomposes to bare alpha,
+    # which still needs the Greek table)
     decomp = unicodedata.normalize("NFKD", ch)
     stripped = "".join(c for c in decomp if not unicodedata.combining(c))
+    if stripped != ch:
+        return "".join(_translit_char(c) for c in stripped)
     return stripped
 
 
@@ -73,8 +187,64 @@ def _translit_cached(ch: str) -> str:
     return _translit_char(ch)
 
 
+def _emit_kana(text: str, i: int, out: list) -> int:
+    """Transliterate one kana unit at text[i]; returns the next index."""
+    k = _norm_kana(text[i])
+    nxt = _norm_kana(text[i + 1]) if i + 1 < len(text) else ""
+    if k == _SOKUON:
+        # gemination: double the following syllable's leading consonant
+        r = _KANA.get(nxt, "")
+        out.append(r[0] if r and r[0] not in "aeiou" else "")
+        return i + 1
+    if k == _CHOONPU:
+        # long-vowel mark: repeat the previous vowel
+        prev = out[-1][-1] if out and out[-1] else ""
+        out.append(prev if prev in "aeiou" else "")
+        return i + 1
+    if k in _KANA_SMALL:  # stray small ya/yu/yo
+        out.append(_KANA_SMALL[k])
+        return i + 1
+    r = _KANA[k]
+    if nxt in _KANA_SMALL and r.endswith("i") and len(r) >= 2:
+        # yoon digraph: ki+ya -> kya, shi+ya -> sha, ji+yo -> jo
+        cons = r[:-1]
+        small = _KANA_SMALL[nxt]
+        out.append(cons + small[1:] if cons.endswith("h") or cons == "j"
+                   else cons + small)
+        return i + 2
+    out.append(r)
+    return i + 1
+
+
+def _romanize_fallback(text: str) -> str:
+    out: list[str] = []
+    i, n = 0, len(text)
+    while i < n:
+        ch = text[i]
+        k = _norm_kana(ch)
+        if k in _KANA or k in _KANA_SMALL or k in (_SOKUON, _CHOONPU):
+            i = _emit_kana(text, i, out)
+            continue
+        if ch in _DEVANAGARI_CONS:
+            base = _DEVANAGARI_CONS[ch]
+            nxt = text[i + 1] if i + 1 < n else ""
+            if nxt in _DEVANAGARI_MATRAS:
+                out.append(base + _DEVANAGARI_MATRAS[nxt])
+                i += 2
+            elif nxt == "्":  # virama suppresses the inherent vowel
+                out.append(base)
+                i += 2
+            else:
+                out.append(base + "a")
+                i += 1
+            continue
+        out.append(_translit_cached(ch))
+        i += 1
+    return "".join(out)
+
+
 def romanize(text: str) -> str:
     """Romanize `text` to Latin script. Uses uroman when installed."""
     if _UROMAN is not None:  # pragma: no cover - env without uroman
         return str(_UROMAN.romanize_string(text))
-    return "".join(_translit_cached(ch) for ch in text)
+    return _romanize_fallback(text)
