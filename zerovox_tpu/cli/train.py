@@ -46,7 +46,19 @@ def get_args(argv=None):
     parser.add_argument("--train-decoder-only", action="store_true")
     parser.add_argument("--max-epochs", type=int, default=40)
     parser.add_argument("--warmup-epochs", type=int, default=2)
-    parser.add_argument("--batch-size", type=int, default=24)
+    parser.add_argument("--batch-size", type=int, default=24,
+                        help="per-process batch size (global = batch-size * processes)")
+    parser.add_argument("--checkpoint-format", default="msgpack",
+                        choices=["msgpack", "orbax"],
+                        help="orbax = sharded full-TrainState checkpoints (multi-host)")
+    parser.add_argument("--distributed", action="store_true",
+                        help="multi-host SPMD: call jax.distributed.initialize "
+                             "before building the mesh (coordinator/process "
+                             "info from --coordinator-address/--num-processes/"
+                             "--process-id or auto-detected on TPU pods)")
+    parser.add_argument("--coordinator-address", type=str, default=None)
+    parser.add_argument("--num-processes", type=int, default=None)
+    parser.add_argument("--process-id", type=int, default=None)
     return parser.parse_args(argv)
 
 
@@ -100,10 +112,25 @@ def main(argv=None):
 
         jax.config.update("jax_platforms", "cpu")
 
-    from zerovox_tpu.parallel.mesh import MeshConfig, make_mesh
+    from zerovox_tpu.parallel.mesh import MeshConfig, initialize_distributed, make_mesh
     from zerovox_tpu.training.data import SpeechDataModule
     from zerovox_tpu.training.data import preprocessed_data_path
     from zerovox_tpu.training.trainer import Trainer, TrainerConfig, device_batch
+
+    if args.distributed:
+        # multi-host SPMD over ICI/DCN (SURVEY.md §2.3): after this,
+        # jax.devices() spans all processes and the data-parallel mesh +
+        # shard_batch (process-local shards) work unchanged. Failures raise.
+        kw = {}
+        if args.coordinator_address:
+            kw.update(coordinator_address=args.coordinator_address,
+                      num_processes=args.num_processes,
+                      process_id=args.process_id)
+        initialize_distributed(strict=True, **kw)
+        import jax
+
+        print(f"distributed: process {jax.process_index()}/{jax.process_count()}, "
+              f"{len(jax.devices())} global devices")
 
     print("collecting .yaml files from specified paths...")
     corpora = collect_corpora(args.corpora)
@@ -123,10 +150,13 @@ def main(argv=None):
     with open(modelcfg_path, "w") as f:
         yaml.dump(modelcfg, f, default_flow_style=False)
 
+    import jax
+
     datamodule = SpeechDataModule(
         corpora=corpora, symbols=symbols, stats=modelcfg["stats"],
         num_bins=modelcfg["model"]["encoder"]["ve_n_bins"],
         batch_size=args.batch_size, num_workers=args.num_workers * max(1, args.devices),
+        seed=jax.process_index(),  # each host shuffles/loads its own shard
     )
     datamodule.prepare_data()
     print(f"{len(datamodule.train_dataset)} training samples")
@@ -141,6 +171,7 @@ def main(argv=None):
         batch_size=args.batch_size, out_folder=args.out_folder, name=args.name,
         train_decoder_only=args.train_decoder_only,
         precision="bf16-mixed" if "16" in str(args.precision) else "32",
+        checkpoint_format=args.checkpoint_format,
     )
     trainer = Trainer(cfg, tcfg, steps_per_epoch=datamodule.steps_per_epoch(), mesh=mesh)
 

@@ -34,12 +34,35 @@ class MeshConfig:
     model: int = 1
 
 
-def initialize_distributed(**kwargs) -> None:
-    """Multi-host init (no-op when already initialized / single-host)."""
+def initialize_distributed(strict: bool = True, **kwargs) -> None:
+    """Multi-host init: after this, jax.devices() spans every process's
+    devices and the same mesh/sharding code runs DP over ICI/DCN unchanged.
+
+    kwargs pass through to jax.distributed.initialize (coordinator_address,
+    num_processes, process_id, local_device_ids, ...); on TPU pods they are
+    auto-detected from the environment. strict=False tolerates an
+    already-initialized runtime (idempotent re-init); real failures always
+    raise — silently continuing single-host after a failed multi-host init
+    corrupts training (each host would train on its own copy)."""
     try:
         jax.distributed.initialize(**kwargs)
-    except (RuntimeError, ValueError):
-        pass
+    except RuntimeError as e:
+        if strict or "already initialized" not in str(e).lower():
+            raise
+
+
+def process_local_batch_to_global(batch: dict, mesh: Mesh) -> dict:
+    """Multi-process batch placement: each process contributes its local
+    batch rows; the returned arrays are global jax.Arrays sharded over the
+    mesh's `data` axis (the multi-host analogue of shard_batch)."""
+    sharding = NamedSharding(mesh, P("data"))
+
+    def put(x):
+        if hasattr(x, "ndim") and x.ndim >= 1:
+            return jax.make_array_from_process_local_data(sharding, np.asarray(x))
+        return x
+
+    return jax.tree.map(put, batch)
 
 
 def make_mesh(cfg: MeshConfig | None = None, devices=None) -> Mesh:
@@ -60,7 +83,11 @@ def batch_spec() -> P:
 
 
 def shard_batch(batch: dict, mesh: Mesh) -> dict:
-    """Place a host batch onto the mesh, batch axis sharded over `data`."""
+    """Place a host batch onto the mesh, batch axis sharded over `data`.
+    In a multi-process runtime the batch is treated as this process's local
+    shard (see process_local_batch_to_global)."""
+    if jax.process_count() > 1:
+        return process_local_batch_to_global(batch, mesh)
     sharding = NamedSharding(mesh, P("data"))
 
     def put(x):
