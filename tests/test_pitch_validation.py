@@ -1,0 +1,146 @@
+"""F0 estimator validation battery (VERDICT r1 missing #2).
+
+The reference derives pitch targets from pyworld DIO+StoneMask
+(utils/preprocess.py:179-187); this build replaces it with a YIN-style
+estimator (zerovox_tpu/dsp/pitch.py). pyworld is not installable here, so
+validation is against *analytic* ground truth — signals whose instantaneous
+F0 is known exactly — covering the failure modes that distinguish a usable
+pitch tracker from a broken one:
+
+  * chirps (does tracking follow a moving F0?)
+  * vibrato (modulation at speech-like rates/depths)
+  * octave-error traps (weak fundamental, strong even harmonics)
+  * breathy voicing (harmonics + noise)
+  * unvoiced noise / silence (voicing decision)
+  * the stats.json contract: F0 range min/max over an utterance, which
+    drives the variance-bin quantization (training/data.py).
+"""
+
+import numpy as np
+import pytest
+
+from zerovox_tpu.dsp.pitch import estimate_f0, interpolate_f0
+
+SR = 22050
+HOP = 256
+
+
+def _frame_truth(inst_f0: np.ndarray) -> np.ndarray:
+    """Instantaneous F0 per sample -> per-frame truth at hop centers."""
+    centers = np.arange(len(inst_f0) // HOP + 1) * HOP
+    centers = np.minimum(centers, len(inst_f0) - 1)
+    return inst_f0[centers]
+
+
+def _voiced_accuracy(f0, truth, rel_tol):
+    """Fraction of voiced frames within rel_tol of truth (edges excluded)."""
+    v = f0[2:-2] > 0
+    assert v.mean() > 0.9, f"only {v.mean():.0%} frames voiced"
+    err = np.abs(f0[2:-2][v] - truth[2:-2][v]) / truth[2:-2][v]
+    return (err < rel_tol).mean(), np.median(err)
+
+
+class TestAnalyticF0:
+    def test_steady_tone(self):
+        t = np.arange(3 * SR) / SR
+        for f in (110.0, 220.0, 440.0):
+            x = np.sin(2 * np.pi * f * t)
+            f0 = estimate_f0(x, SR, HOP)
+            v = f0 > 0
+            assert v.mean() > 0.95
+            np.testing.assert_allclose(np.median(f0[v]), f, rtol=0.01)
+
+    def test_linear_chirp(self):
+        """100 -> 400 Hz over 3 s: tracking must follow the sweep."""
+        n = 3 * SR
+        t = np.arange(n) / SR
+        inst = 100.0 + (400.0 - 100.0) * t / t[-1]
+        phase = 2 * np.pi * np.cumsum(inst) / SR
+        x = np.sin(phase)
+        f0 = estimate_f0(x, SR, HOP)
+        truth = _frame_truth(inst)[: len(f0)]
+        acc, med = _voiced_accuracy(f0, truth, rel_tol=0.05)
+        assert acc > 0.95, f"chirp accuracy {acc:.2%}, median err {med:.3f}"
+
+    def test_vibrato(self):
+        """220 Hz +-6% at 5.5 Hz (speech-like vibrato)."""
+        n = 3 * SR
+        t = np.arange(n) / SR
+        inst = 220.0 * (1 + 0.06 * np.sin(2 * np.pi * 5.5 * t))
+        phase = 2 * np.pi * np.cumsum(inst) / SR
+        x = np.sin(phase)
+        f0 = estimate_f0(x, SR, HOP)
+        truth = _frame_truth(inst)[: len(f0)]
+        acc, med = _voiced_accuracy(f0, truth, rel_tol=0.05)
+        assert acc > 0.95, f"vibrato accuracy {acc:.2%}, median err {med:.3f}"
+
+    def test_octave_trap_weak_fundamental(self):
+        """Strong even harmonics, weak fundamental: the naive peak-picker
+        answer is 2*f0; the period is still 1/f0."""
+        t = np.arange(3 * SR) / SR
+        f = 150.0
+        x = (0.15 * np.sin(2 * np.pi * f * t)
+             + 1.00 * np.sin(2 * np.pi * 2 * f * t)
+             + 0.30 * np.sin(2 * np.pi * 3 * f * t)
+             + 0.50 * np.sin(2 * np.pi * 4 * f * t))
+        f0 = estimate_f0(x, SR, HOP)
+        v = f0 > 0
+        assert v.mean() > 0.9
+        med = np.median(f0[v])
+        assert abs(med - f) / f < 0.03, f"octave error: got {med:.1f} for f0={f}"
+
+    def test_missing_fundamental(self):
+        """Telephone-voice case: no energy at f0 at all."""
+        t = np.arange(3 * SR) / SR
+        f = 140.0
+        x = sum(np.sin(2 * np.pi * h * f * t) / h for h in (2, 3, 4, 5))
+        f0 = estimate_f0(np.asarray(x), SR, HOP)
+        v = f0 > 0
+        assert v.mean() > 0.9
+        med = np.median(f0[v])
+        assert abs(med - f) / f < 0.03, f"missing-fundamental: got {med:.1f}"
+
+    def test_breathy_voice(self):
+        """Harmonics at 10 dB SNR over noise must still track."""
+        rng = np.random.default_rng(0)
+        t = np.arange(3 * SR) / SR
+        f = 200.0
+        sig = sum(np.sin(2 * np.pi * h * f * t) / h for h in (1, 2, 3))
+        noise = rng.normal(size=len(t))
+        noise *= np.sqrt((sig ** 2).mean() / (noise ** 2).mean() / 10)  # 10 dB
+        f0 = estimate_f0(sig + noise, SR, HOP)
+        v = f0 > 0
+        assert v.mean() > 0.8
+        np.testing.assert_allclose(np.median(f0[v]), f, rtol=0.03)
+
+    def test_unvoiced_noise(self):
+        rng = np.random.default_rng(1)
+        x = rng.normal(size=2 * SR) * 0.1
+        f0 = estimate_f0(x, SR, HOP)
+        assert (f0 == 0).mean() > 0.8, "white noise mostly voiced"
+
+    def test_silence(self):
+        f0 = estimate_f0(np.zeros(SR), SR, HOP)
+        assert (f0 == 0).all()
+
+    def test_frame_count_convention(self):
+        """pyworld.dio convention: len//hop + 1 frames."""
+        for n in (SR, SR + 1, SR + HOP - 1):
+            f0 = estimate_f0(np.zeros(n), SR, HOP)
+            assert len(f0) == n // HOP + 1
+
+
+class TestStatsContract:
+    def test_min_max_drive_variance_bins(self):
+        """stats.json min/max (reference preprocess.py:752-763) over a
+        two-tone utterance: the estimated range must bracket the true tones
+        within 3% — quantization bins depend on it (training/data.py)."""
+        t = np.arange(SR) / SR
+        lo = np.sin(2 * np.pi * 120.0 * t)
+        hi = np.sin(2 * np.pi * 380.0 * t)
+        gap = np.zeros(SR // 4)
+        x = np.concatenate([lo, gap, hi])
+        f0 = estimate_f0(x, SR, HOP)
+        f0 = interpolate_f0(f0)
+        assert abs(f0.min() - 120.0) / 120.0 < 0.03
+        assert abs(f0.max() - 380.0) / 380.0 < 0.03

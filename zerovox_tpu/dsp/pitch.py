@@ -70,9 +70,12 @@ def estimate_f0(
     has_below = below.any(axis=1)
     best = np.where(has_below, first_below, np.argmin(search, axis=1))
 
-    # refine: within a dip, walk to the local minimum after the first crossing
-    # (approximate: take argmin over a small window after first_below)
-    win = 8
+    # refine: within a dip, walk to the local minimum after the first
+    # crossing. Low F0s have wide dips — the first sub-threshold tau can sit
+    # 10+ taus before the true minimum, biasing estimates sharp — so the
+    # search window is as wide as possible without reaching the next dip
+    # (dips are >= tau_min apart).
+    win = max(8, tau_min - 2)
     cols = np.clip(best[:, None] + np.arange(win)[None, :], 0, tau_max)
     local = np.take_along_axis(cmndf, cols, axis=1)
     best = cols[np.arange(len(frames)), np.argmin(local, axis=1)]
