@@ -34,3 +34,53 @@ class TestFusedResBlock:
         ref = np.asarray(resblock1_reference(x, w1, b1, w2, b2, (1, 3, 5)))
         out = np.asarray(fused_resblock1(x, w1, b1, w2, b2, (1, 3, 5), tile=64, interpret=True))
         np.testing.assert_allclose(out, ref, atol=2e-4)
+
+
+class TestFusedMRF:
+    """Fused multi-receptive-field stage (ops/pallas/mrf.py): mean of three
+    ResBlock1 towers (kernel sizes 3/7/11) in one pass."""
+
+    def test_matches_reference(self):
+        from zerovox_tpu.ops.pallas.mrf import fused_mrf, mrf_reference
+
+        rng = np.random.default_rng(2)
+        T, C = 300, 16
+        dil = (1, 3, 5)
+        ksizes = (3, 7, 11)
+        x = rng.normal(size=(T, C)).astype(np.float32)
+        towers = [_weights(rng, len(dil), k, C) for k in ksizes]
+
+        ref = np.asarray(mrf_reference(x, towers, dil))
+        out = np.asarray(fused_mrf(x, towers, dil, ksizes, tile=128, interpret=True))
+        np.testing.assert_allclose(out, ref, atol=3e-4)
+
+    def test_non_tile_multiple_length(self):
+        from zerovox_tpu.ops.pallas.mrf import fused_mrf, mrf_reference
+
+        rng = np.random.default_rng(3)
+        T, C = 211, 8
+        dil = (1, 3)
+        ksizes = (3, 7)
+        x = rng.normal(size=(T, C)).astype(np.float32)
+        towers = [_weights(rng, len(dil), k, C) for k in ksizes]
+        ref = np.asarray(mrf_reference(x, towers, dil))
+        out = np.asarray(fused_mrf(x, towers, dil, ksizes, tile=64, interpret=True))
+        np.testing.assert_allclose(out, ref, atol=3e-4)
+
+
+class TestBatchedResblock:
+    def test_vmap_matches_per_item(self):
+        """B>1 support: vmapped kernel equals the per-item kernel."""
+        import jax
+
+        from zerovox_tpu.ops.pallas.resblock import fused_resblock1
+
+        rng = np.random.default_rng(4)
+        B, T, C = 3, 200, 8
+        x = rng.normal(size=(B, T, C)).astype(np.float32)
+        w1, b1, w2, b2 = _weights(rng, 3, 3, C)
+        f = lambda xb: fused_resblock1(xb, w1, b1, w2, b2, (1, 3, 5),
+                                       tile=64, interpret=True)
+        batched = np.asarray(jax.vmap(f)(x))
+        for b in range(B):
+            np.testing.assert_allclose(batched[b], np.asarray(f(x[b])), atol=1e-5)

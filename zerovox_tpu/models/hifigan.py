@@ -115,21 +115,31 @@ class ResBlock1(nn.Module):
     use_pallas: bool = False
 
     @nn.compact
-    def __call__(self, x):
+    def __call__(self, x, return_params: bool = False):
         from zerovox_tpu.models.layers import conv1d_im2col
 
         k, c = self.kernel_size, self.channels
         params1 = [_ConvParams(k, c, c, name=f"convs1_{i}")() for i in range(len(self.dilation))]
         params2 = [_ConvParams(k, c, c, name=f"convs2_{i}")() for i in range(len(self.dilation))]
 
-        if self.use_pallas and x.shape[0] == 1:
+        if return_params:
+            # stacked (w1, b1, w2, b2) for the Generator's fused-MRF kernel
+            return ((jnp.stack([p[0] for p in params1]),
+                     jnp.stack([p[1] for p in params1])),
+                    (jnp.stack([p[0] for p in params2]),
+                     jnp.stack([p[1] for p in params2])))
+
+        if self.use_pallas:
             from zerovox_tpu.ops.pallas.resblock import fused_resblock1
 
             w1 = jnp.stack([p[0] for p in params1])
             b1 = jnp.stack([p[1] for p in params1])
             w2 = jnp.stack([p[0] for p in params2])
             b2 = jnp.stack([p[1] for p in params2])
-            return fused_resblock1(x[0], w1, b1, w2, b2, tuple(self.dilation))[None]
+            f = lambda xb: fused_resblock1(xb, w1, b1, w2, b2, tuple(self.dilation))
+            if x.shape[0] == 1:
+                return f(x[0])[None]
+            return jax.vmap(f)(x)  # batch -> extra pallas grid dimension
 
         for (w1, b1), (w2, b2), d in zip(params1, params2, self.dilation):
             xt = leaky_relu(x, LRELU_SLOPE)
@@ -173,13 +183,33 @@ class Generator(nn.Module):
 
         x = Conv1d(cfg.upsample_initial_channel, 7, padding=3, name="conv_pre")(mel)
 
+        # the fused-MRF Pallas kernel needs identical dilation schedules
+        # across the towers and VMEM-resident weights (C <= 128)
+        dil0 = tuple(cfg.resblock_dilation_sizes[0])
+        mrf_fusable = (cfg.resblock == "1" and num_kernels > 1
+                       and all(tuple(d) == dil0 for d in cfg.resblock_dilation_sizes))
+
         for i, (u, k) in enumerate(zip(cfg.upsample_rates, cfg.upsample_kernel_sizes)):
             ch = cfg.upsample_initial_channel // (2 ** (i + 1))
             x = leaky_relu(x, LRELU_SLOPE)
             x = ConvTranspose1d(ch, k, stride=u, padding=(k - u) // 2, name=f"ups_{i}")(x)
+            pallas_ok = self.use_pallas and ch <= 128
+            if pallas_ok and mrf_fusable:
+                from zerovox_tpu.ops.pallas.mrf import fused_mrf
+
+                towers = []
+                for j, ks in enumerate(cfg.resblock_kernel_sizes):
+                    (w1, b1), (w2, b2) = ResBlock1(
+                        ch, ks, dil0, name=f"resblocks_{i * num_kernels + j}",
+                    )(x, return_params=True)
+                    towers.append((w1, b1, w2, b2))
+                ksizes = tuple(cfg.resblock_kernel_sizes)
+                f = lambda xb: fused_mrf(xb, towers, dil0, ksizes)
+                x = f(x[0])[None] if x.shape[0] == 1 else jax.vmap(f)(x)
+                continue
             xs = None
             for j, (ks, dil) in enumerate(zip(cfg.resblock_kernel_sizes, cfg.resblock_dilation_sizes)):
-                kwargs = {"use_pallas": self.use_pallas} if cfg.resblock == "1" else {}
+                kwargs = {"use_pallas": pallas_ok} if cfg.resblock == "1" else {}
                 r = resblock_cls(ch, ks, tuple(dil),
                                  name=f"resblocks_{i * num_kernels + j}", **kwargs)(x)
                 xs = r if xs is None else xs + r
