@@ -95,30 +95,36 @@ def main():
     n_phones = len(synth.text2phonemeids(TEXT)[0])
     duration = np.full(n_phones, 6, dtype=np.int32)
 
-    # ---- RTF (reference demo.py methodology) ----
-    iters, warmup = 25, 10
-    rtfs = []
+    # ---- RTF (reference demo.py methodology, utils/profiling.RtfStats) ----
+    from zerovox_tpu.utils.profiling import RtfStats, device_trace
+
+    import contextlib
+
+    profile_dir = None
+    if "--profile-dir" in sys.argv:
+        profile_dir = sys.argv[sys.argv.index("--profile-dir") + 1]
+
+    stats = RtfStats(warmup=10)
     wav = None
-    for i in range(iters):
-        t0 = time.perf_counter()
-        wav, _, _, _ = synth.tts_ex(TEXT, spkemb, duration=duration)
-        elapsed = time.perf_counter() - t0
-        voice_len = wav.shape[0] / sr
-        if i > warmup:
-            rtfs.append(elapsed / voice_len)
-    rtf = float(np.mean(rtfs))
+    with device_trace(profile_dir) if profile_dir else contextlib.nullcontext():
+        for i in range(25):
+            t0 = time.perf_counter()
+            wav, _, _, _ = synth.tts_ex(TEXT, spkemb, duration=duration)
+            stats.add(wav.shape[0] / sr, time.perf_counter() - t0)
+    rtf = stats.mean_rtf
 
     # ---- p50 first-chunk latency (streaming) ----
-    lat = []
+    lat_stats = RtfStats(warmup=4)
     for i in range(15):
         t0 = time.perf_counter()
         gen = synth.tts_stream(TEXT, spkemb, duration=duration)
         next(gen)
-        lat.append(time.perf_counter() - t0)
+        first = time.perf_counter() - t0
         for _ in gen:
             pass
-    lat_sorted = sorted(lat[5:])  # drop warmup
-    p50_ms = 1000.0 * lat_sorted[len(lat_sorted) // 2]
+        lat_stats.add(wav.shape[0] / sr, time.perf_counter() - t0,
+                      first_chunk_s=first)
+    p50_ms = lat_stats.p50_first_chunk_ms
 
     if "--full" in sys.argv:
         _bench_extra_scenarios(synth, sr)
