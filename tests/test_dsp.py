@@ -167,3 +167,76 @@ class TestPitch:
         out = phoneme_level_average(vals, durs)
         # last span: pos=6, d=4, pos+d=10 not < 10 -> falls back to vals[6]
         np.testing.assert_allclose(out, [1.0, 4.0, 6.0])
+
+
+class TestLoudness:
+    """BS.1770-4 validation battery for the ffmpeg-loudnorm fallback
+    (reference utils/preprocess.py:155-161 uses `acompressor,loudnorm=I=-14`;
+    without ffmpeg in the environment the numpy path must hold the spec's
+    analytic conformance points instead)."""
+
+    def test_k_weighting_matches_spec_tables_at_48k(self):
+        """BS.1770-4 Tables 1 & 2 tabulate the two biquads at 48 kHz; the
+        analog-prototype rederivation must reproduce them."""
+        from zerovox_tpu.dsp.audio import _k_weighting_coeffs
+
+        shelf, hp = _k_weighting_coeffs(48000)
+        np.testing.assert_allclose(
+            shelf,
+            [1.53512485958697, -2.69169618940638, 1.19839281085285,
+             1.0, -1.69065929318241, 0.73248077421585], atol=1e-6)
+        np.testing.assert_allclose(
+            hp,
+            [1.0, -2.0, 1.0, 1.0, -1.99004745483398, 0.99007225036621],
+            atol=1e-6)
+
+    def test_fullscale_sine_conformance_point(self):
+        """Spec annex: a 0 dBFS 997 Hz sine reads -3.01 LKFS — at the spec's
+        48 kHz and at the resampled-filter rates this corpus actually uses."""
+        from zerovox_tpu.dsp.audio import measure_lufs
+
+        for fs in (48000, 44100, 22050, 16000):
+            t = np.arange(int(fs * 3)) / fs
+            sine = np.sin(2 * np.pi * 997 * t)
+            assert abs(measure_lufs(sine, fs) - (-3.01)) < 0.1, fs
+
+    def test_gating_ignores_silence(self):
+        """Integrated loudness gates out silent blocks: appending 8 s of
+        silence to a 2 s tone must not drag the measurement down."""
+        from zerovox_tpu.dsp.audio import measure_lufs
+
+        fs = 22050
+        t = np.arange(int(fs * 2)) / fs
+        burst = 0.3 * np.sin(2 * np.pi * 440 * t)
+        solo = measure_lufs(burst, fs)
+        padded = measure_lufs(np.concatenate([burst, np.zeros(int(fs * 8))]), fs)
+        assert abs(solo - padded) < 0.5
+        # sanity: ungated mean square over the padded signal would be ~7 dB lower
+        assert solo < -10
+
+    def test_silence_is_neg_inf(self):
+        from zerovox_tpu.dsp.audio import measure_lufs
+
+        assert measure_lufs(np.zeros(22050), 22050) == float("-inf")
+        assert measure_lufs(np.zeros(10), 22050) == float("-inf")
+
+    def test_normalize_hits_target(self):
+        from zerovox_tpu.dsp.audio import loudness_normalize, measure_lufs
+
+        fs = 22050
+        t = np.arange(int(fs * 2)) / fs
+        for level, target in ((0.05, -14.0), (0.8, -20.0)):
+            y = loudness_normalize(level * np.sin(2 * np.pi * 300 * t), fs,
+                                   target_lufs=target, compress=False)
+            assert abs(measure_lufs(y, fs) - target) < 0.2
+
+    def test_normalize_peak_clamp(self):
+        """Asking for a loudness the waveform cannot reach without clipping
+        engages the 0.99 peak clamp instead of clipping."""
+        from zerovox_tpu.dsp.audio import loudness_normalize
+
+        fs = 22050
+        t = np.arange(int(fs * 2)) / fs
+        y = loudness_normalize(0.9 * np.sin(2 * np.pi * 300 * t), fs,
+                               target_lufs=-1.0, compress=False)
+        assert np.max(np.abs(y)) <= 0.99 + 1e-6

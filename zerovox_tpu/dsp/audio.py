@@ -109,6 +109,72 @@ def first_and_last_hop_above_threshold(
     return int(nz[0]), int(nz[-1])
 
 
+def _k_weighting_coeffs(fs: float) -> tuple[np.ndarray, np.ndarray]:
+    """ITU-R BS.1770-4 K-weighting pre-filter as two biquads for any sample
+    rate. The spec tabulates coefficients at 48 kHz only; for other rates the
+    biquads are re-derived from the analog prototypes behind those tables
+    (the standard practice, e.g. pyloudnorm): a +4 dB high-shelf modelling
+    head diffraction and the RLB revised low-frequency B-curve high-pass.
+    At fs=48000 this reproduces the spec's Table 1/2 coefficients to ~1e-6.
+    Returns (sos_shelf, sos_highpass) second-order sections."""
+    # stage 1: spherical-head high shelf
+    db, f0, q = 3.999843853973347, 1681.974450955533, 0.7071752369554196
+    K = np.tan(np.pi * f0 / fs)
+    Vh = 10.0 ** (db / 20.0)
+    Vb = Vh ** 0.4996667741545416
+    a0 = 1.0 + K / q + K * K
+    b = np.array([
+        (Vh + Vb * K / q + K * K) / a0,
+        2.0 * (K * K - Vh) / a0,
+        (Vh - Vb * K / q + K * K) / a0,
+    ])
+    a = np.array([1.0, 2.0 * (K * K - 1.0) / a0, (1.0 - K / q + K * K) / a0])
+    shelf = np.concatenate([b, a])
+
+    # stage 2: RLB high-pass
+    f0, q = 38.13547087602444, 0.5003270373238773
+    K = np.tan(np.pi * f0 / fs)
+    a0 = 1.0 + K / q + K * K
+    b = np.array([1.0, -2.0, 1.0])
+    a = np.array([1.0, 2.0 * (K * K - 1.0) / a0, (1.0 - K / q + K * K) / a0])
+    hp = np.concatenate([b, a])
+    return shelf, hp
+
+
+def measure_lufs(audio: np.ndarray, sampling_rate: int) -> float:
+    """Integrated loudness (LUFS) of mono audio per ITU-R BS.1770-4:
+    K-weighting -> mean square over 400 ms blocks with 75% overlap ->
+    absolute gate at -70 LUFS -> relative gate 10 LU below the gated mean.
+    A full-scale 1 kHz sine reads -3.01 LUFS (spec annex 1 conformance
+    point; validated in tests/test_dsp.py at several sample rates).
+    Returns -inf for silence/empty input."""
+    x = np.asarray(audio, dtype=np.float64)
+    block = int(round(0.400 * sampling_rate))
+    if x.size < block or block == 0:
+        return float("-inf")
+
+    shelf, hp = _k_weighting_coeffs(sampling_rate)
+    xw = scipy.signal.sosfilt(np.stack([shelf, hp]), x)
+
+    hop = block // 4  # 75% overlap
+    n_blocks = 1 + (len(xw) - block) // hop
+    starts = np.arange(n_blocks) * hop
+    # mean square per block via cumulative sum (O(n))
+    csum = np.concatenate([[0.0], np.cumsum(xw * xw)])
+    ms = (csum[starts + block] - csum[starts]) / block
+
+    with np.errstate(divide="ignore"):
+        l_blocks = -0.691 + 10.0 * np.log10(np.maximum(ms, 1e-30))
+    abs_gated = ms[l_blocks > -70.0]
+    if abs_gated.size == 0:
+        return float("-inf")
+    rel_thresh = -0.691 + 10.0 * np.log10(abs_gated.mean()) - 10.0
+    gated = ms[(l_blocks > -70.0) & (l_blocks > rel_thresh)]
+    if gated.size == 0:
+        return float("-inf")
+    return float(-0.691 + 10.0 * np.log10(gated.mean()))
+
+
 def loudness_normalize(
     audio: np.ndarray,
     sampling_rate: int,
@@ -116,10 +182,10 @@ def loudness_normalize(
     compress: bool = True,
 ) -> np.ndarray:
     """Approximate `ffmpeg acompressor,loudnorm=I=-14` for environments
-    without ffmpeg (reference utils/preprocess.py:155-161).
-
-    Uses a K-weighted (two-stage biquad) loudness estimate per BS.1770 and a
-    simple soft-knee compressor; good enough for feature extraction parity.
+    without ffmpeg (reference utils/preprocess.py:155-161): a gentle
+    envelope compressor followed by a BS.1770-4 integrated-loudness gain to
+    `target_lufs` (linear-gain mode, what loudnorm does on its second pass),
+    with a -0.1 dBFS true-peak-ish safety clamp.
     """
     x = np.asarray(audio, dtype=np.float64)
     if x.size == 0:
@@ -132,20 +198,10 @@ def loudness_normalize(
         gain = np.where(env > thr, (thr / np.maximum(env, 1e-9)) ** 0.5, 1.0)
         x = x * gain
 
-    # K-weighting: shelving + high-pass (BS.1770 coefficients for 48k scaled)
-    # For a loudness *estimate* a plain high-passed RMS is sufficient.
-    sos = scipy.signal.butter(2, 60.0, "highpass", fs=sampling_rate, output="sos")
-    xw = scipy.signal.sosfilt(sos, x)
-    # gated mean square over 400 ms blocks
-    bs = max(1, int(0.4 * sampling_rate))
-    n_blocks = max(1, len(xw) // bs)
-    ms = np.array([np.mean(xw[i * bs : (i + 1) * bs] ** 2) for i in range(n_blocks)])
-    ms = ms[ms > 1e-10]
-    if ms.size == 0:
-        return audio.astype(np.float32)
-    lufs = -0.691 + 10 * np.log10(np.mean(ms))
-    gain_db = target_lufs - lufs
-    y = x * (10 ** (gain_db / 20))
+    lufs = measure_lufs(x, sampling_rate)
+    if not np.isfinite(lufs):
+        return x.astype(np.float32)
+    y = x * (10 ** ((target_lufs - lufs) / 20))
     peak = np.max(np.abs(y))
     if peak > 0.99:
         y = y * (0.99 / peak)
