@@ -194,10 +194,25 @@ class Trainer:
                 decoder_only_labels(params),
             )
 
-        opt_state = self.tx.init(params)
-        state = TrainState(params=params, batch_stats=batch_stats,
-                           opt_state=opt_state, step=jnp.zeros((), jnp.int32))
-        state = replicate(state, self.mesh)
+        if self.mesh.shape.get("model", 1) > 1:
+            # tensor parallel: wide matmul kernels shard over the `model`
+            # axis (parallel/mesh.py rules); optimizer moments are created
+            # from the placed params below and inherit their shardings, so
+            # Adam state shards with the weights it tracks
+            from zerovox_tpu.parallel.mesh import param_sharding_rules
+
+            params = jax.tree.map(jax.device_put, params,
+                                  param_sharding_rules(params, self.mesh))
+            batch_stats = replicate(batch_stats, self.mesh)
+            opt_state = self.tx.init(params)
+            state = TrainState(params=params, batch_stats=batch_stats,
+                               opt_state=opt_state,
+                               step=replicate(jnp.zeros((), jnp.int32), self.mesh))
+        else:
+            opt_state = self.tx.init(params)
+            state = TrainState(params=params, batch_stats=batch_stats,
+                               opt_state=opt_state, step=jnp.zeros((), jnp.int32))
+            state = replicate(state, self.mesh)
         self._train_step = make_train_step(self.model, self.tx,
                                            train_decoder_only=self.tcfg.train_decoder_only,
                                            precision=self.tcfg.precision)
