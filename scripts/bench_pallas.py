@@ -44,7 +44,7 @@ def main():
     rng = np.random.default_rng(0)
 
     md_xla = MelDec(cfg, use_pallas=False)
-    md_pls = MelDec(cfg, use_pallas=True)
+    md_pls = MelDec(cfg, use_pallas=True, pallas_all_batches=True)
     mel0 = jnp.asarray(rng.normal(size=(1, 87, cfg.num_mels)).astype(np.float32))
     variables = md_xla.init(jax.random.PRNGKey(0), mel0)
 
@@ -60,16 +60,17 @@ def main():
             mel = jax.device_put(
                 rng.normal(size=(B, T, cfg.num_mels)).astype(np.float32), dev)
 
+            # forced marginal timing: block_until_ready does not actually
+            # wait on tunneled backends (see utils/profiling.py)
+            from zerovox_tpu.utils.profiling import forced_device_time
+
+            probe = jax.jit(lambda w: w[..., :1].sum())
+
             def timeit(f):
-                out = None
-                for _ in range(3):
-                    out = f(variables, mel)
-                jax.block_until_ready(out)
-                t0 = time.perf_counter()
-                for _ in range(args.iters):
-                    out = f(variables, mel)
-                jax.block_until_ready(out)
-                return (time.perf_counter() - t0) / args.iters, out
+                out = f(variables, mel)
+                secs = forced_device_time(lambda: f(variables, mel), probe,
+                                          iters=(3, 3 + args.iters))
+                return secs, out
 
             xla_s, out_x = timeit(f_xla)
             pls_s, out_p = timeit(f_pls)

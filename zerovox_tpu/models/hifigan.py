@@ -17,7 +17,6 @@ from typing import Any
 from dataclasses import dataclass
 
 import flax.linen as nn
-import jax
 import jax.numpy as jnp
 
 from zerovox_tpu.models.layers import Conv1d, ConvTranspose1d, leaky_relu
@@ -136,10 +135,7 @@ class ResBlock1(nn.Module):
             b1 = jnp.stack([p[1] for p in params1])
             w2 = jnp.stack([p[0] for p in params2])
             b2 = jnp.stack([p[1] for p in params2])
-            f = lambda xb: fused_resblock1(xb, w1, b1, w2, b2, tuple(self.dilation))
-            if x.shape[0] == 1:
-                return f(x[0])[None]
-            return jax.vmap(f)(x)  # batch -> extra pallas grid dimension
+            return fused_resblock1(x, w1, b1, w2, b2, tuple(self.dilation))
 
         for (w1, b1), (w2, b2), d in zip(params1, params2, self.dilation):
             xt = leaky_relu(x, LRELU_SLOPE)
@@ -174,6 +170,7 @@ class Generator(nn.Module):
 
     cfg: HifiGanConfig
     use_pallas: bool = False
+    pallas_all_batches: bool = False
 
     @nn.compact
     def __call__(self, mel):
@@ -193,7 +190,11 @@ class Generator(nn.Module):
             ch = cfg.upsample_initial_channel // (2 ** (i + 1))
             x = leaky_relu(x, LRELU_SLOPE)
             x = ConvTranspose1d(ch, k, stride=u, padding=(k - u) // 2, name=f"ups_{i}")(x)
-            pallas_ok = self.use_pallas and ch <= 128
+            # batch>1 measured at XLA parity on v5e (docs/PERFORMANCE.md
+            # §Pallas), so "auto" keeps the kernel to the single-utterance
+            # serving path; ZEROVOX_USE_PALLAS=1 forces it for all batches
+            pallas_ok = (self.use_pallas and ch <= 128
+                         and (mel.shape[0] == 1 or self.pallas_all_batches))
             if pallas_ok and mrf_fusable:
                 from zerovox_tpu.ops.pallas.mrf import fused_mrf
 
@@ -204,8 +205,7 @@ class Generator(nn.Module):
                     )(x, return_params=True)
                     towers.append((w1, b1, w2, b2))
                 ksizes = tuple(cfg.resblock_kernel_sizes)
-                f = lambda xb: fused_mrf(xb, towers, dil0, ksizes)
-                x = f(x[0])[None] if x.shape[0] == 1 else jax.vmap(f)(x)
+                x = fused_mrf(x, towers, dil0, ksizes)
                 continue
             xs = None
             for j, (ks, dil) in enumerate(zip(cfg.resblock_kernel_sizes, cfg.resblock_dilation_sizes)):
@@ -231,6 +231,7 @@ class MelDec(nn.Module):
     cfg: HifiGanConfig
     subbands: int = 1
     use_pallas: bool = False
+    pallas_all_batches: bool = False
 
     @nn.compact
     def __call__(self, mel, normalize_before: bool = False):
@@ -238,7 +239,9 @@ class MelDec(nn.Module):
             mean = self.param("mean", nn.initializers.zeros, (self.cfg.num_mels,))
             scale = self.param("scale", nn.initializers.ones, (self.cfg.num_mels,))
             mel = (mel - mean) / scale
-        wav = Generator(self.cfg, use_pallas=self.use_pallas, name="generator")(mel)
+        wav = Generator(self.cfg, use_pallas=self.use_pallas,
+                        pallas_all_batches=self.pallas_all_batches,
+                        name="generator")(mel)
         if self.subbands > 1:
             from zerovox_tpu.ops.pqmf import PQMF
 

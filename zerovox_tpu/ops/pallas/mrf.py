@@ -36,9 +36,10 @@ def _mrf_kernel(x_hbm, *refs, dilations, kernel_sizes, tile, halo, seq_len):
     n = len(kernel_sizes)
     o_ref, win_scratch, sem = refs[4 * n], refs[4 * n + 1], refs[4 * n + 2]
 
-    i = pl.program_id(0)
+    b = pl.program_id(0)
+    i = pl.program_id(1)
     dma = pltpu.make_async_copy(
-        x_hbm.at[pl.ds(i * tile, tile + 2 * halo), :],
+        x_hbm.at[b, pl.ds(i * tile, tile + 2 * halo), :],
         win_scratch,
         sem,
     )
@@ -63,25 +64,56 @@ def _mrf_kernel(x_hbm, *refs, dilations, kernel_sizes, tile, halo, seq_len):
             xt = _conv_same(xt, w2[p], 1) + b2[p][None, :]
             win = jnp.where(valid, win + xt, 0.0)
         acc = acc + win
-    o_ref[:] = (acc / n)[halo: halo + tile, :]
+    o_ref[0, :, :] = (acc / n)[halo: halo + tile, :]
+
+
+def _pick_tile(towers, dilations, kernel_sizes, c: int = 128,
+               budget: int = 13 * 2**20) -> int:
+    """Largest power-of-two time-tile that keeps the kernel under the ~16 MB
+    VMEM core budget (with headroom for Mosaic's output double-buffering).
+
+    Resident weights are fixed (all towers stay in VMEM); the tile-dependent
+    cost is the input window scratch + output block + ~9 live (win, C) f32
+    temporaries measured from Mosaic's stack accounting (tile=2048 at C=128
+    allocated 19.6 MB total, 11.3 MB of it tile-dependent)."""
+    n_pairs = len(dilations)
+    weights = sum(2 * n_pairs * k * c * c * 4 for k in kernel_sizes)
+    halo = max(_halo(k, tuple(dilations)) for k in kernel_sizes)
+    tile = 2048
+    while tile > 256:
+        rows = tile + 2 * halo
+        live = 11 * rows * c * 4  # scratch + temps + out double-buffer
+        if weights + live <= budget:
+            break
+        tile //= 2
+    return tile
 
 
 def fused_mrf(
-    x: jnp.ndarray,                 # [T, C]
+    x: jnp.ndarray,                 # [B, T, C] or [T, C]
     towers,                         # list of (w1 [P,k,C,C], b1, w2, b2)
     dilations: tuple[int, ...],
     kernel_sizes: tuple[int, ...],
-    tile: int = 2048,
+    tile: int | None = None,
     interpret: bool = False,
 ) -> jnp.ndarray:
-    """Mean over len(towers) ResBlock1 outputs in one pass over x."""
-    T, C = x.shape
+    """Mean over len(towers) ResBlock1 outputs in one pass over x.
+
+    Batch is a leading grid dimension (NOT vmap — Pallas cannot batch a
+    memory-space-ANY operand, and a grid axis reuses the VMEM-resident
+    weights across the whole batch anyway)."""
+    squeeze = x.ndim == 2
+    if squeeze:
+        x = x[None]
+    B, T, C = x.shape
     halo = max(_halo(k, tuple(dilations)) for k in kernel_sizes)
+    if tile is None:
+        tile = _pick_tile(towers, dilations, kernel_sizes)
 
     C_out = C
     if C < 128:
         pad_c = 128 - C
-        x = jnp.pad(x, ((0, 0), (0, pad_c)))
+        x = jnp.pad(x, ((0, 0), (0, 0), (0, pad_c)))
         towers = [
             (jnp.pad(w1, ((0, 0), (0, 0), (0, pad_c), (0, pad_c))),
              jnp.pad(b1, ((0, 0), (0, pad_c))),
@@ -93,7 +125,7 @@ def fused_mrf(
 
     num_tiles = (T + tile - 1) // tile
     T_pad = num_tiles * tile
-    xp = jnp.pad(x, ((halo, halo + (T_pad - T)), (0, 0)))
+    xp = jnp.pad(x, ((0, 0), (halo, halo + (T_pad - T)), (0, 0)))
 
     flat = [a for tower in towers for a in tower]
     win = tile + 2 * halo
@@ -101,18 +133,20 @@ def fused_mrf(
         functools.partial(_mrf_kernel, dilations=tuple(dilations),
                           kernel_sizes=tuple(kernel_sizes), tile=tile,
                           halo=halo, seq_len=T),
-        grid=(num_tiles,),
+        grid=(B, num_tiles),
         in_specs=[pl.BlockSpec(memory_space=pl.ANY)]
         + [pl.BlockSpec(memory_space=pltpu.VMEM)] * len(flat),
-        out_specs=pl.BlockSpec((tile, C), lambda i: (i, 0), memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((T_pad, C), x.dtype),
+        out_specs=pl.BlockSpec((1, tile, C), lambda b, i: (b, i, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((B, T_pad, C), x.dtype),
         scratch_shapes=[
             pltpu.VMEM((win, C), jnp.float32),
             pltpu.SemaphoreType.DMA,
         ],
         interpret=interpret,
     )(xp, *flat)
-    return out[:T, :C_out]
+    out = out[:, :T, :C_out]
+    return out[0] if squeeze else out
 
 
 def mrf_reference(x, towers, dilations):

@@ -69,9 +69,10 @@ def _conv_same(win, w, dilation: int):
 
 def _resblock_kernel(x_hbm, w1_ref, b1_ref, w2_ref, b2_ref, o_ref, win_scratch, sem,
                      *, dilations, tile, halo, seq_len):
-    i = pl.program_id(0)
+    b = pl.program_id(0)
+    i = pl.program_id(1)
     dma = pltpu.make_async_copy(
-        x_hbm.at[pl.ds(i * tile, tile + 2 * halo), :],
+        x_hbm.at[b, pl.ds(i * tile, tile + 2 * halo), :],
         win_scratch,
         sem,
     )
@@ -94,11 +95,11 @@ def _resblock_kernel(x_hbm, w1_ref, b1_ref, w2_ref, b2_ref, o_ref, win_scratch, 
         xt = _leaky(xt)
         xt = _conv_same(xt, w2_ref[p], 1) + b2_ref[p][None, :]
         win = jnp.where(valid, win + xt, 0.0)
-    o_ref[:] = win[halo : halo + tile, :]
+    o_ref[0, :, :] = win[halo : halo + tile, :]
 
 
 def fused_resblock1(
-    x: jnp.ndarray,  # [T, C]
+    x: jnp.ndarray,  # [B, T, C] or [T, C]
     w1: jnp.ndarray,  # [n_pairs, k, C, C] dilated convs
     b1: jnp.ndarray,  # [n_pairs, C]
     w2: jnp.ndarray,  # [n_pairs, k, C, C] plain convs
@@ -107,7 +108,12 @@ def fused_resblock1(
     tile: int = 2048,
     interpret: bool = False,
 ) -> jnp.ndarray:
-    T, C = x.shape
+    """Batch is a leading grid dimension (not vmap: Pallas cannot batch a
+    memory-space-ANY operand, and a grid axis reuses the VMEM weights)."""
+    squeeze = x.ndim == 2
+    if squeeze:
+        x = x[None]
+    B, T, C = x.shape
     k = w1.shape[1]
     halo = _halo(k, tuple(dilations))
 
@@ -117,7 +123,7 @@ def fused_resblock1(
     C_out = C
     if C < 128:
         pad_c = 128 - C
-        x = jnp.pad(x, ((0, 0), (0, pad_c)))
+        x = jnp.pad(x, ((0, 0), (0, 0), (0, pad_c)))
         w1 = jnp.pad(w1, ((0, 0), (0, 0), (0, pad_c), (0, pad_c)))
         w2 = jnp.pad(w2, ((0, 0), (0, 0), (0, pad_c), (0, pad_c)))
         b1 = jnp.pad(b1, ((0, 0), (0, pad_c)))
@@ -126,12 +132,12 @@ def fused_resblock1(
 
     num_tiles = (T + tile - 1) // tile
     T_pad = num_tiles * tile
-    xp = jnp.pad(x, ((halo, halo + (T_pad - T)), (0, 0)))
+    xp = jnp.pad(x, ((0, 0), (halo, halo + (T_pad - T)), (0, 0)))
 
     win = tile + 2 * halo
     out = pl.pallas_call(
         functools.partial(_resblock_kernel, dilations=tuple(dilations), tile=tile, halo=halo, seq_len=T),
-        grid=(num_tiles,),
+        grid=(B, num_tiles),
         in_specs=[
             pl.BlockSpec(memory_space=pl.ANY),  # x stays in HBM; manual DMA
             pl.BlockSpec(memory_space=pltpu.VMEM),
@@ -139,15 +145,17 @@ def fused_resblock1(
             pl.BlockSpec(memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((tile, C), lambda i: (i, 0), memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((T_pad, C), x.dtype),
+        out_specs=pl.BlockSpec((1, tile, C), lambda b, i: (b, i, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((B, T_pad, C), x.dtype),
         scratch_shapes=[
             pltpu.VMEM((win, C), jnp.float32),
             pltpu.SemaphoreType.DMA,
         ],
         interpret=interpret,
     )(xp, w1, b1, w2, b2)
-    return out[:T, :C_out]
+    out = out[:, :T, :C_out]
+    return out[0] if squeeze else out
 
 
 def resblock1_reference(x, w1, b1, w2, b2, dilations):

@@ -79,8 +79,15 @@ class ZeroVoxTTS:
         self._normalizer = ZeroVoxNormalizer(language or cfg.langs[0])
 
         self._model = ZeroVox(cfg)
-        use_pallas = os.environ.get("ZEROVOX_USE_PALLAS", "0") == "1"
-        self._meldec = MelDec(meldec_cfg, use_pallas=use_pallas)
+        # fused-MRF Pallas vocoder: measured 1.15-5x device-time win at
+        # batch 1 on v5e (docs/PERFORMANCE.md §Pallas), parity at batch>1 —
+        # so "auto" (default) enables it on TPU for single-utterance programs
+        # only (the Generator routes per static batch size). "1" forces it on
+        # for all batches, "0" disables (CPU has no compiled Pallas).
+        flag = os.environ.get("ZEROVOX_USE_PALLAS", "auto")
+        use_pallas = (flag == "1") or (flag == "auto" and jax.default_backend() == "tpu")
+        self._meldec = MelDec(meldec_cfg, use_pallas=use_pallas,
+                              pallas_all_batches=flag == "1")
         self._meldec_cfg = meldec_cfg
         # Pin weights on the accelerator once — host-resident params would
         # otherwise re-upload on every jitted call, which dominates latency on
