@@ -285,6 +285,9 @@ class TestRomanizeScripts:
         ("Привет", "Privet"),               # Cyrillic
         ("ελληνικά", "ellenika"),           # Greek incl. tonos
         ("Čeština", "Cestina"),             # Latin diacritics
+        ("สวัสดี", "swasdi"),               # Thai (RTGS consonants/vowels)
+        ("ประเทศไทย", "prathesthaiy"),      # Thai preposed vowels reorder
+        ("๕", "5"),                         # Thai digits
     ]
 
     @pytest.mark.parametrize("text,expected", CASES)

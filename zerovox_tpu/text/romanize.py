@@ -135,6 +135,30 @@ _SOKUON = "っ"
 _CHOONPU = "ー"
 
 
+
+# Thai (RTGS-style, char-level): preposed vowels reorder after the next
+# consonant; tone marks / thanthakhat / mai taikhu are dropped
+_THAI_CONS = {
+    "ก": "k", "ข": "kh", "ฃ": "kh", "ค": "kh", "ฅ": "kh", "ฆ": "kh",
+    "ง": "ng", "จ": "ch", "ฉ": "ch", "ช": "ch", "ซ": "s", "ฌ": "ch",
+    "ญ": "y", "ฎ": "d", "ฏ": "t", "ฐ": "th", "ฑ": "th", "ฒ": "th",
+    "ณ": "n", "ด": "d", "ต": "t", "ถ": "th", "ท": "th", "ธ": "th",
+    "น": "n", "บ": "b", "ป": "p", "ผ": "ph", "ฝ": "f", "พ": "ph",
+    "ฟ": "f", "ภ": "ph", "ม": "m", "ย": "y", "ร": "r", "ฤ": "rue",
+    "ล": "l", "ฦ": "lue", "ว": "w", "ศ": "s", "ษ": "s", "ส": "s",
+    "ห": "h", "ฬ": "l", "อ": "", "ฮ": "h",
+}
+_THAI_VOWELS = {  # postposed / above / below signs
+    "ะ": "a", "\u0e31": "a", "า": "a", "ำ": "am", "\u0e34": "i",
+    "\u0e35": "i", "\u0e36": "ue", "\u0e37": "ue", "\u0e38": "u",
+    "\u0e39": "u", "ๅ": "", "ฯ": "", "ๆ": "",
+}
+_THAI_PREPOSED = {"เ": "e", "แ": "ae", "โ": "o", "ใ": "ai", "ไ": "ai"}
+_THAI_DROP = {"\u0e47", "\u0e48", "\u0e49", "\u0e4a", "\u0e4b", "\u0e4c",
+              "\u0e4d", "\u0e4e"}  # mai taikhu, 4 tones, thanthakhat, ...
+_THAI_DIGITS = {chr(0x0E50 + d): str(d) for d in range(10)}
+
+
 def _hangul_syllable(cp: int) -> str:
     idx = cp - 0xAC00
     lead = idx // 588
@@ -224,6 +248,30 @@ def _romanize_fallback(text: str) -> str:
         k = _norm_kana(ch)
         if k in _KANA or k in _KANA_SMALL or k in (_SOKUON, _CHOONPU):
             i = _emit_kana(text, i, out)
+            continue
+        if ch in _THAI_PREPOSED:
+            # preposed vowel: written before, pronounced after the consonant
+            v = _THAI_PREPOSED[ch]
+            j = i + 1
+            cons = ""
+            while j < n and (text[j] in _THAI_CONS or text[j] in _THAI_DROP):
+                if text[j] in _THAI_CONS:
+                    cons += _THAI_CONS[text[j]]
+                    j += 1
+                    break
+                j += 1
+            out.append(cons + v)
+            i = j
+            continue
+        if ch in _THAI_CONS or ch in _THAI_VOWELS or ch in _THAI_DROP \
+                or ch in _THAI_DIGITS:
+            if ch in _THAI_CONS:
+                out.append(_THAI_CONS[ch])
+            elif ch in _THAI_VOWELS:
+                out.append(_THAI_VOWELS[ch])
+            elif ch in _THAI_DIGITS:
+                out.append(_THAI_DIGITS[ch])
+            i += 1
             continue
         if ch in _DEVANAGARI_CONS:
             base = _DEVANAGARI_CONS[ch]
