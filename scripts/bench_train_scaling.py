@@ -1,10 +1,16 @@
 """Training step-time vs batch size + MFU estimate (VERDICT r1 next #4).
 
 Times the jitted SPMD train step on the tts_medium config at several batch
-sizes, with NO host syncs inside the timed window (the round-1 trainer
-fetched losses every step; fit() now gates fetches — this measures the
-step stream as dispatched). FLOPs come from XLA's compiled cost analysis;
-MFU = flops / step_time / peak(v5e bf16 = 197 TFLOP/s, f32 = 49 TFLOP/s).
+sizes, with NO host syncs inside the timed window. FLOPs come from XLA's
+compiled cost analysis; MFU = flops / step_time / peak (v5e bf16 =
+197 TFLOP/s, f32 = 49 TFLOP/s).
+
+Timing is *forced marginal* timing: on tunneled backends
+jax.block_until_ready can return before the device finishes
+(utils/profiling.py:forced_device_time), so each measurement chains N
+donated train steps, fences with a device_get of the final loss (in-order
+device execution forces the whole chain), and reports the marginal cost
+between two chain lengths — RTT and fetch constants cancel.
 
     python scripts/bench_train_scaling.py [--batches 8,16,32,64] [--precision bf16-mixed]
 
@@ -45,6 +51,59 @@ def synth_batch(B: int, L: int, T: int, num_mels: int, rng) -> dict:
     }
 
 
+def bench_one(B: int, args, cfg, mesh) -> dict:
+    import jax
+
+    from zerovox_tpu.parallel.mesh import shard_batch
+    from zerovox_tpu.training.trainer import Trainer, TrainerConfig
+
+    rng = np.random.default_rng(0)
+    batch = synth_batch(B, args.txt_len, args.mel_len, cfg.audio.num_mels, rng)
+    tcfg = TrainerConfig(max_epochs=1, batch_size=B,
+                         out_folder="/tmp/zvx_scaling",
+                         precision=args.precision)
+    trainer = Trainer(cfg, tcfg, steps_per_epoch=100, mesh=mesh)
+    state = trainer.init_state(batch)
+    sb = shard_batch(batch, mesh)
+    key = jax.random.PRNGKey(0)
+
+    # compile + FLOPs estimate
+    t0 = time.perf_counter()
+    compiled = trainer._train_step.lower(state, sb, key).compile()
+    compile_s = time.perf_counter() - t0
+    flops = None
+    try:
+        ca = compiled.cost_analysis()
+        ca = ca[0] if isinstance(ca, list) else ca
+        flops = float(ca.get("flops", 0.0)) or None
+    except Exception:
+        pass
+
+    def run(n):
+        nonlocal state
+        losses = None
+        for _ in range(2):  # warmup outside the timed window
+            state, losses = trainer._train_step(state, sb, key)
+        jax.device_get(losses["loss"])
+        t0 = time.perf_counter()
+        for _ in range(n):
+            state, losses = trainer._train_step(state, sb, key)
+        jax.device_get(losses["loss"])
+        return time.perf_counter() - t0
+
+    n1, n2 = max(args.steps // 4, 1), args.steps
+    t1, t2 = run(n1), run(n2)
+    step_s = (t2 - t1) / (n2 - n1)
+
+    peak = PEAK_FLOPS.get(args.precision, 197e12)
+    mfu = (flops / step_s / peak) if flops else None
+    return {"batch": B, "ms_per_step": round(1000 * step_s, 2),
+            "ms_per_sample": round(1000 * step_s / B, 3),
+            "flops_per_step": flops,
+            "mfu_pct": round(100 * mfu, 2) if mfu else None,
+            "compile_s": round(compile_s, 1)}
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--batches", default="8,16,32,64")
@@ -52,6 +111,8 @@ def main():
     ap.add_argument("--steps", type=int, default=20)
     ap.add_argument("--txt-len", type=int, default=96)
     ap.add_argument("--mel-len", type=int, default=689)
+    ap.add_argument("--remat", action="store_true",
+                    help="rematerialize FFT blocks (fits larger batches)")
     ap.add_argument("--out-json", default=None)
     args = ap.parse_args()
 
@@ -62,58 +123,21 @@ def main():
     import jax
 
     from zerovox_tpu.config import ZeroVoxConfig
-    from zerovox_tpu.parallel.mesh import MeshConfig, make_mesh, shard_batch
-    from zerovox_tpu.training.trainer import Trainer, TrainerConfig
+    from zerovox_tpu.parallel.mesh import MeshConfig, make_mesh
 
     cfg = ZeroVoxConfig()  # tts_medium
-    rng = np.random.default_rng(0)
+    if args.remat:
+        import dataclasses
+
+        cfg = dataclasses.replace(cfg, model=dataclasses.replace(cfg.model, remat=True))
     mesh = make_mesh(MeshConfig(data=1), devices=jax.devices()[:1])
 
     rows = []
-    state = None
-    trainer = None
     for B in [int(b) for b in args.batches.split(",")]:
-        batch = synth_batch(B, args.txt_len, args.mel_len, cfg.audio.num_mels, rng)
-        if trainer is None:
-            tcfg = TrainerConfig(max_epochs=1, batch_size=B,
-                                 out_folder="/tmp/zvx_scaling",
-                                 precision=args.precision)
-            trainer = Trainer(cfg, tcfg, steps_per_epoch=100, mesh=mesh)
-            state = trainer.init_state(batch)
-        sb = shard_batch(batch, mesh)
-        key = jax.random.PRNGKey(0)
-
-        # compile + FLOPs estimate
-        t0 = time.perf_counter()
-        lowered = trainer._train_step.lower(state, sb, key)
-        compiled = lowered.compile()
-        compile_s = time.perf_counter() - t0
-        flops = None
         try:
-            ca = compiled.cost_analysis()
-            ca = ca[0] if isinstance(ca, list) else ca
-            flops = float(ca.get("flops", 0.0)) or None
-        except Exception:
-            pass
-
-        # warmup (donated state: thread it through)
-        for _ in range(3):
-            state, losses = trainer._train_step(state, sb, key)
-        jax.block_until_ready(losses["loss"])
-
-        t0 = time.perf_counter()
-        for _ in range(args.steps):
-            state, losses = trainer._train_step(state, sb, key)
-        jax.block_until_ready(losses["loss"])
-        step_s = (time.perf_counter() - t0) / args.steps
-
-        peak = PEAK_FLOPS.get(args.precision, 197e12)
-        mfu = (flops / step_s / peak) if flops else None
-        rows.append({"batch": B, "ms_per_step": round(1000 * step_s, 2),
-                     "ms_per_sample": round(1000 * step_s / B, 3),
-                     "flops_per_step": flops,
-                     "mfu_pct": round(100 * mfu, 2) if mfu else None,
-                     "compile_s": round(compile_s, 1)})
+            rows.append(bench_one(B, args, cfg, mesh))
+        except Exception as e:  # e.g. HBM OOM at large batch
+            rows.append({"batch": B, "error": str(e).splitlines()[0][:200]})
         print(rows[-1], file=sys.stderr, flush=True)
 
     print(json.dumps({"precision": args.precision, "txt_len": args.txt_len,

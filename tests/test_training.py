@@ -318,3 +318,64 @@ class TestMixedPrecision:
         assert jax.tree.leaves(state.params)[0].dtype == jnp.float32
         for leaf in jax.tree.leaves(state.batch_stats):
             assert leaf.dtype == jnp.float32
+
+
+class TestRemat:
+    def test_remat_same_param_tree_and_step(self, tmp_path):
+        """model.remat=True (per-FFT-block jax.checkpoint) must keep the
+        param tree identical to the non-remat model (checkpoints stay
+        interchangeable) and run a full train step with finite loss."""
+        import dataclasses
+
+        import jax
+
+        from zerovox_tpu.config import ZeroVoxConfig
+        from zerovox_tpu.models.zerovox import ZeroVox
+        from zerovox_tpu.parallel.mesh import MeshConfig, make_mesh, shard_batch
+        from zerovox_tpu.training.trainer import Trainer, TrainerConfig, device_batch
+
+        cfg = ZeroVoxConfig.from_dict({
+            "audio": {"num_mels": 20},
+            "model": {
+                "max_txt_len": 32, "max_mel_len": 64,
+                "emb_dim": 16, "punct_emb_dim": 8,
+                "encoder": {"fs2_layer": 2, "fs2_head": 2, "vp_filter_size": 8,
+                            "ve_n_bins": 8},
+                "decoder": {"kind": "fastspeech2", "n_layers": 2, "n_head": 2,
+                            "conv_filter_size": 32},
+                "resnet": {"layers": [1, 1, 1, 1], "num_filters": [8, 8, 8, 8]},
+            },
+        })
+        cfg_r = dataclasses.replace(cfg, model=dataclasses.replace(cfg.model, remat=True))
+
+        rng = np.random.default_rng(0)
+        B, L, T = 4, 12, 48
+        dur = rng.integers(2, 4, size=(B, L)).astype(np.int32)
+        mel_len = np.minimum(dur.sum(1), T)
+        batch = {
+            "phoneme": rng.integers(0, 28, (B, L)).astype(np.int32),
+            "puncts": rng.integers(0, 10, (B, L)).astype(np.int32),
+            "phoneme_mask": np.zeros((B, L), bool),
+            "pitch": rng.uniform(0, 1, (B, L)).astype(np.float32),
+            "energy": rng.uniform(0, 1, (B, L)).astype(np.float32),
+            "duration": dur,
+            "mel_mask": np.arange(T)[None, :] >= mel_len[:, None],
+            "ref_mel": rng.normal(size=(B, 32, 20)).astype(np.float32),
+            "mel": rng.normal(size=(B, T, 20)).astype(np.float32),
+        }
+
+        v_plain = ZeroVox(cfg).init({"params": jax.random.PRNGKey(0)}, batch, train=False)
+        v_remat = ZeroVox(cfg_r).init({"params": jax.random.PRNGKey(0)}, batch, train=False)
+        assert (jax.tree_util.tree_structure(v_plain)
+                == jax.tree_util.tree_structure(v_remat))
+        for a, b in zip(jax.tree.leaves(v_plain), jax.tree.leaves(v_remat)):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+        mesh = make_mesh(MeshConfig(data=1), devices=jax.devices()[:1])
+        trainer = Trainer(cfg_r, TrainerConfig(max_epochs=1, batch_size=B,
+                                               out_folder=str(tmp_path)),
+                          steps_per_epoch=1, mesh=mesh)
+        state = trainer.init_state(device_batch(batch))
+        state, losses = trainer._train_step(state, shard_batch(device_batch(batch), mesh),
+                                            jax.random.PRNGKey(0))
+        assert np.isfinite(float(losses["loss"]))

@@ -44,6 +44,10 @@ def get_args(argv=None):
                         help="Path to model checkpoint file (torch .ckpt or native .msgpack)")
     parser.add_argument("--verbose", action="store_true")
     parser.add_argument("--train-decoder-only", action="store_true")
+    parser.add_argument("--remat", action="store_true",
+                        help="rematerialize FFT blocks in backward: ~30%% "
+                             "more FLOPs for O(layers) less activation HBM "
+                             "(enables batch sizes that otherwise OOM)")
     parser.add_argument("--max-epochs", type=int, default=40)
     parser.add_argument("--warmup-epochs", type=int, default=2)
     parser.add_argument("--batch-size", type=int, default=24,
@@ -142,6 +146,10 @@ def main(argv=None):
     modelcfg = merge_stats(modelcfg, corpora, base_path)
 
     cfg = ZeroVoxConfig.from_dict(modelcfg)
+    if args.remat:
+        import dataclasses
+
+        cfg = dataclasses.replace(cfg, model=dataclasses.replace(cfg.model, remat=True))
     symbols = Symbols(modelcfg["model"]["phones"], modelcfg["model"]["puncts"])
 
     os.makedirs(args.out_folder, exist_ok=True)

@@ -70,6 +70,11 @@ class ModelConfig:
     emb_reduction: int = 1
     punct_emb_dim: int = 16
     dpe_emb_dim: int = 32
+    # rematerialize FFT blocks in backward (jax.checkpoint per layer):
+    # trades ~30% step-time FLOPs for O(layers) less activation HBM — the
+    # im2col FFN expansion otherwise OOMs large-batch training (B=64 at
+    # mel bucket 689 exceeds 16 GB on v5e)
+    remat: bool = False
     encoder: EncoderConfig = field(default_factory=EncoderConfig)
     decoder: DecoderConfig = field(default_factory=DecoderConfig)
     resnet: ResNetConfig = field(default_factory=ResNetConfig)

@@ -144,6 +144,7 @@ class Encoder(nn.Module):
     conv_kernel_size: tuple[int, int]
     dropout: float
     max_txt_len: int
+    remat: bool = False
 
     @nn.compact
     def __call__(self, phonemes, puncts, pad_mask, deterministic: bool = True):
@@ -161,8 +162,11 @@ class Encoder(nn.Module):
         x = x + _position_table(L, self.max_txt_len, d_model)[None, :, :]
 
         attn_mask = jnp.broadcast_to(pad_mask[:, None, :], (B, L, L))
+        # nn.remat keeps the param tree identical; __call__ arg 5
+        # (deterministic, scope is arg 0) must be static for dropout
+        block_cls = nn.remat(FFTBlock, static_argnums=(5,)) if self.remat else FFTBlock
         for i in range(self.n_layers):
-            x = FFTBlock(
+            x = block_cls(
                 d_model, self.n_head, d_k, d_v, self.conv_filter_size,
                 self.conv_kernel_size, scln=False, dropout=self.dropout,
                 name=f"layer_{i}",
@@ -311,6 +315,7 @@ class FS2Encoder(nn.Module):
             conv_kernel_size=tuple(self.model_cfg.decoder.conv_kernel_size),
             dropout=enc.fs2_dropout,
             max_txt_len=self.model_cfg.max_txt_len,
+            remat=self.model_cfg.remat,
         )
         self.variance_adaptor = VarianceAdaptor(
             emb_size=self.model_cfg.emb_size,
@@ -386,6 +391,7 @@ class FS2Decoder(nn.Module):
     dec_cfg: DecoderConfig
     max_mel_len: int
     n_mels: int
+    remat: bool = False
 
     @nn.compact
     def __call__(self, x, mel_mask, spk_emb, deterministic: bool = True):
@@ -396,8 +402,9 @@ class FS2Decoder(nn.Module):
         x = x + _position_table(T, self.max_mel_len, d_model)[None, :, :]
 
         attn_mask = jnp.broadcast_to(mel_mask[:, None, :], (B, T, T))
+        block_cls = nn.remat(FFTBlock, static_argnums=(5,)) if self.remat else FFTBlock
         for i in range(cfg.n_layers):
-            x = FFTBlock(
+            x = block_cls(
                 d_model, cfg.n_head, d_k, d_v, cfg.conv_filter_size,
                 tuple(cfg.conv_kernel_size), scln=cfg.scln, dropout=cfg.dropout,
                 name=f"layer_{i}",

@@ -45,7 +45,8 @@ class ZeroVox(nn.Module):
         )
         if m.decoder.kind == "fastspeech2":
             self.mel_decoder = FS2Decoder(
-                dec_cfg=m.decoder, max_mel_len=m.max_mel_len, n_mels=self.cfg.audio.num_mels
+                dec_cfg=m.decoder, max_mel_len=m.max_mel_len,
+                n_mels=self.cfg.audio.num_mels, remat=m.remat,
             )
         elif m.decoder.kind == "styletts":
             self.mel_decoder = StyleTTSDecoder(
