@@ -78,7 +78,38 @@ def main():
         print(f"{name}: max|diff|={err:.2e} "
               f"fwd im2col {r['fwd_im2col']:.2f} ms vs native {r['fwd_native']:.2f} ms; "
               f"grad im2col {r['bwd_im2col']:.2f} ms vs native {r['bwd_native']:.2f} ms "
-              f"(fwd native {flops / (r['fwd_native'] / 1e3) / 1e12:.1f} TFLOP/s)",
+              f"(fwd native {flops / max(r['fwd_native'], 1e-6) * 1e3 / 1e12:.1f} TFLOP/s)",
+              file=sys.stderr, flush=True)
+
+    # transposed conv: subpixel phase-matmul vs native input-dilated conv
+    from zerovox_tpu.models.layers import conv_transpose1d_subpixel
+
+    def convt_native(x, w, stride: int, padding: int):
+        k = w.shape[0]
+        return jax.lax.conv_general_dilated(
+            x, w, window_strides=(1,),
+            padding=[(k - 1 - padding, k - 1 - padding)],
+            lhs_dilation=(stride,),
+            dimension_numbers=("NWC", "WIO", "NWC"))
+
+    tcases = [
+        ("vocoder ups0 k=16 s=8 B1", 1, 689, 512, 256, 16, 8),
+        ("vocoder ups2 k=4 s=2 B1", 1, 44096, 128, 64, 4, 2),
+    ]
+    for name, B, T, Cin, Cout, k, s_ in tcases:
+        x = jnp.asarray(rng.normal(size=(B, T, Cin)).astype(np.float32))
+        w = jnp.asarray(rng.normal(size=(k, Cin, Cout)).astype(np.float32) * 0.02)
+        pad = (k - s_) // 2
+        f_sub = jax.jit(lambda x, w: conv_transpose1d_subpixel(x, w, s_, pad))
+        f_nat = jax.jit(lambda x, w: convt_native(x, w, s_, pad))
+        err = float(jnp.abs(f_sub(x, w) - f_nat(x, w)).max())
+        r = {}
+        for label, fn in (("subpixel", f_sub), ("native", f_nat)):
+            fn(x, w)
+            secs = forced_device_time(lambda fn=fn: fn(x, w), probe, iters=(3, 13))
+            r[label] = secs * 1000
+        print(f"{name}: max|diff|={err:.2e} "
+              f"subpixel {r['subpixel']:.2f} ms vs native {r['native']:.2f} ms",
               file=sys.stderr, flush=True)
 
 

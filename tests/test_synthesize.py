@@ -180,3 +180,36 @@ class TestBundledRefaudio:
         assert 2.0 < len(wav) / 22050 < 10.0
         rms = float(np.sqrt((wav ** 2).mean()))
         assert rms > 0.01  # actual voiced audio, not silence
+
+
+class TestWireDtype:
+    def test_i16_wire_quantization_bound(self, monkeypatch):
+        """ZEROVOX_WIRE_DTYPE=i16 fetches waveforms as int16 (half the
+        device->host bytes) and reconstructs float within one LSB (1/32760)
+        of the f32-wire output."""
+        import importlib
+
+        import zerovox_tpu.synthesize as S
+
+        cfg, mc = small_cfg(), SMALL_MELDEC
+        monkeypatch.setenv("ZEROVOX_WIRE_DTYPE", "i16")
+        s_i16 = S.ZeroVoxTTS.from_random(cfg, mc, seed=3)
+        monkeypatch.setenv("ZEROVOX_WIRE_DTYPE", "f32")
+        s_f32 = S.ZeroVoxTTS.from_random(cfg, mc, seed=3)
+        assert s_i16._wire_i16 and not s_f32._wire_i16
+
+        rng = np.random.default_rng(0)
+        spk = rng.normal(size=(1, 1, cfg.model.emb_size)).astype(np.float32) * 0.3
+        text = "the quick brown fox"
+        n = len(s_i16.text2phonemeids(text)[0])
+        dur = np.full(n, 4, np.int32)
+        w1, _, _, _ = s_i16.tts_ex(text, spk, duration=dur)
+        w2, _, _, _ = s_f32.tts_ex(text, spk, duration=dur)
+        assert w1.dtype == np.float32
+        assert np.abs(w2).max() > 0  # nonzero audio, the bound is meaningful
+        assert np.abs(w1 - w2).max() <= 1.0 / 32760.0 + 1e-7
+
+        c1 = np.concatenate(list(s_i16.tts_stream(text, spk, duration=dur)))
+        c2 = np.concatenate(list(s_f32.tts_stream(text, spk, duration=dur)))
+        assert c1.shape == c2.shape
+        assert np.abs(c1 - c2).max() <= 1.0 / 32760.0 + 1e-7

@@ -115,7 +115,7 @@ class ResBlock1(nn.Module):
 
     @nn.compact
     def __call__(self, x, return_params: bool = False):
-        from zerovox_tpu.models.layers import conv1d_im2col
+        from zerovox_tpu.models.layers import conv1d
 
         k, c = self.kernel_size, self.channels
         params1 = [_ConvParams(k, c, c, name=f"convs1_{i}")() for i in range(len(self.dilation))]
@@ -139,9 +139,9 @@ class ResBlock1(nn.Module):
 
         for (w1, b1), (w2, b2), d in zip(params1, params2, self.dilation):
             xt = leaky_relu(x, LRELU_SLOPE)
-            xt = conv1d_im2col(xt, w1, padding=get_padding(k, d), dilation=d) + b1
+            xt = conv1d(xt, w1, padding=get_padding(k, d), dilation=d) + b1
             xt = leaky_relu(xt, LRELU_SLOPE)
-            xt = conv1d_im2col(xt, w2, padding=get_padding(k, 1), dilation=1) + b2
+            xt = conv1d(xt, w2, padding=get_padding(k, 1), dilation=1) + b2
             x = xt + x
         return x
 

@@ -9,10 +9,32 @@ channels) — the TPU-friendly layout — rather than torch's NCL.
 
 from __future__ import annotations
 
+import os
+
 import flax.linen as nn
 import jax
 import jax.numpy as jnp
 import numpy as np
+
+# 1-D/2-D conv lowering: "auto" | "native" (lax.conv_general_dilated) |
+# "im2col" (tap-gather + one MXU matmul). Round 1 shipped im2col everywhere
+# after measuring native convs as ~1000x slower — that measurement used
+# block_until_ready, which is NOT an execution fence on tunneled TPU
+# backends (docs/PERFORMANCE.md "Backend quirks"). Honest forced-marginal
+# timing (scripts/bench_conv_impl.py, v5e) splits by batch:
+#   * batched/training shapes: native wins big (1.6-1.9x fwd on the k=9 FFN
+#     conv, ~9x on its gradient) and avoids materializing k x the
+#     activation, which was OOMing B=64 training;
+#   * batch-1 serving shapes: im2col is faster end-to-end (bench.py RTF
+#     0.0182 im2col vs 0.0190 native; first-chunk p50 77 vs 88 ms).
+# "auto" therefore picks im2col for B==1 programs and native otherwise.
+_CONV_IMPL = os.environ.get("ZEROVOX_CONV_IMPL", "auto")
+
+
+def _impl(batch: int) -> str:
+    if _CONV_IMPL == "auto":
+        return "im2col" if batch == 1 else "native"
+    return _CONV_IMPL
 
 
 def torch_std(x: jnp.ndarray, axis: int = -1, keepdims: bool = True) -> jnp.ndarray:
@@ -28,14 +50,32 @@ def torch_std(x: jnp.ndarray, axis: int = -1, keepdims: bool = True) -> jnp.ndar
     return jnp.sqrt(var + 1e-12)
 
 
+def conv1d(x, kernel, stride=1, padding=0, dilation=1):
+    """1-D conv over [B, T, Cin] with torch semantics; lowering picked by
+    ZEROVOX_CONV_IMPL (see module docstring). k==1 is a plain matmul."""
+    if kernel.shape[0] == 1 and stride == 1 and dilation == 1 and padding == 0:
+        return jnp.einsum("btc,co->bto", x, kernel[0],
+                          preferred_element_type=jnp.float32)
+    if _impl(x.shape[0]) == "im2col":
+        return conv1d_im2col(x, kernel, stride, padding, dilation)
+    # lax.conv requires equal dtypes (the im2col einsum promotes); mirror
+    # numpy promotion so bf16-mixed training (f32 position tables added to
+    # bf16 activations) keeps working
+    dt = jnp.promote_types(x.dtype, kernel.dtype)
+    return jax.lax.conv_general_dilated(
+        x.astype(dt), kernel.astype(dt),
+        window_strides=(stride,), padding=[(padding, padding)],
+        rhs_dilation=(dilation,), dimension_numbers=("NHC", "HIO", "NHC"))
+
+
 def conv1d_im2col(x, kernel, stride=1, padding=0, dilation=1):
     """1-D conv as tap-gather + single MXU matmul.
 
-    XLA's native 1-D convolution lowers poorly on some TPU backends for the
-    shapes this model uses (small batch, short length, wide channels) —
-    measured ~1000x slower than the equivalent matmul. The kernel width is a
-    small static constant, so unrolling into k strided slices and one
-    (T, k*Cin) x (k*Cin, Cout) dot keeps the FLOPs on the systolic array.
+    The kernel width is a small static constant, so unrolling into k strided
+    slices and one (T, k*Cin) x (k*Cin, Cout) dot keeps the FLOPs on the
+    systolic array. Kept as the ZEROVOX_CONV_IMPL=im2col fallback and as the
+    reference path for the Pallas kernels; the default lowering is native
+    (see module docstring for the measured comparison).
     """
     k = kernel.shape[0]
     if padding:
@@ -58,9 +98,9 @@ class Conv1d(nn.Module):
 
     Torch Conv1d semantics: cross-correlation, symmetric zero padding of
     `padding` samples, optional dilation/stride/groups. Kernel stored as
-    (width, in_per_group, out). Grouped convs (only the GAN discriminators
-    use them) go through lax.conv; everything else uses the im2col matmul
-    formulation (see conv1d_im2col).
+    (width, in_per_group, out). Lowering picked by ZEROVOX_CONV_IMPL (module
+    docstring); grouped convs (only the GAN discriminators use them) always
+    go through lax.conv.
     """
 
     features: int
@@ -81,7 +121,7 @@ class Conv1d(nn.Module):
             (self.kernel_size, in_ch // self.groups, self.features),
         )
         if self.groups == 1:
-            y = conv1d_im2col(x, kernel, self.stride, self.padding, self.dilation)
+            y = conv1d(x, kernel, self.stride, self.padding, self.dilation)
         else:
             y = jax.lax.conv_general_dilated(
                 x,
@@ -96,6 +136,20 @@ class Conv1d(nn.Module):
             bias = self.param("bias", nn.initializers.zeros, (self.features,))
             y = y + bias
         return y
+
+
+def conv2d(x, kernel, stride=(1, 1), padding=(1, 1)):
+    """2-D conv over [B, H, W, Cin]; lowering picked by ZEROVOX_CONV_IMPL
+    (native avoids the kh*kw im2col activation blowup on the speaker
+    encoder's [B, 344, 80, C] tensors)."""
+    if _impl(x.shape[0]) == "im2col":
+        return conv2d_im2col(x, kernel, stride, padding)
+    ph, pw = padding
+    dt = jnp.promote_types(x.dtype, kernel.dtype)
+    return jax.lax.conv_general_dilated(
+        x.astype(dt), kernel.astype(dt),
+        window_strides=tuple(stride), padding=[(ph, ph), (pw, pw)],
+        dimension_numbers=("NHWC", "HWIO", "NHWC"))
 
 
 def conv2d_im2col(x, kernel, stride=(1, 1), padding=(1, 1)):
@@ -126,7 +180,7 @@ def conv2d_im2col(x, kernel, stride=(1, 1), padding=(1, 1)):
 
 
 class Conv2d(nn.Module):
-    """2-D convolution (torch semantics, NHWC) via im2col matmul. Kernel
+    """2-D convolution (torch semantics, NHWC). Kernel
     param layout matches flax nn.Conv ((kh, kw, in, out)), so checkpoint
     conversion is unchanged."""
 
@@ -141,7 +195,7 @@ class Conv2d(nn.Module):
         kh, kw = self.kernel_size
         kernel = self.param("kernel", nn.initializers.lecun_normal(),
                             (kh, kw, x.shape[-1], self.features))
-        y = conv2d_im2col(x, kernel, self.strides, self.padding)
+        y = conv2d(x, kernel, self.strides, self.padding)
         if self.use_bias:
             y = y + self.param("bias", nn.initializers.zeros, (self.features,))
         return y
@@ -194,7 +248,7 @@ def conv_transpose1d_subpixel(x, kernel, stride: int, padding: int):
     k, _, Cout = kernel.shape
     s = stride
     if s == 1:
-        return conv1d_im2col(x, kernel, 1, k - 1 - padding, 1)
+        return conv1d(x, kernel, 1, k - 1 - padding, 1)
 
     pad0 = k - 1 - padding
     T_out = (T - 1) * s + k - 2 * padding
@@ -361,7 +415,7 @@ class WeightNormConv1d(nn.Module):
         norm = jnp.sqrt(jnp.sum(v**2, axis=(0, 1), keepdims=True) + 1e-12)
         kernel = v * (g[None, None, :] / norm)
         if self.groups == 1:
-            y = conv1d_im2col(x, kernel, self.stride, self.padding, self.dilation)
+            y = conv1d(x, kernel, self.stride, self.padding, self.dilation)
         else:
             y = jax.lax.conv_general_dilated(
                 x,

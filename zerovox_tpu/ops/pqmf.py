@@ -14,7 +14,7 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
-from zerovox_tpu.models.layers import conv1d_im2col
+from zerovox_tpu.models.layers import conv1d
 
 
 def _design_prototype(taps: int, cutoff_ratio: float, beta: float) -> np.ndarray:
@@ -52,7 +52,7 @@ class PQMF:
     def analysis(self, x: jnp.ndarray) -> jnp.ndarray:
         """[B, T] -> [B, T//subbands, subbands]."""
         pad = self._taps // 2
-        y = conv1d_im2col(x[..., None], self._analysis, stride=1, padding=pad)
+        y = conv1d(x[..., None], self._analysis, stride=1, padding=pad)
         return y[:, :: self.subbands, :]
 
     def synthesis(self, x: jnp.ndarray) -> jnp.ndarray:
@@ -63,5 +63,5 @@ class PQMF:
         # zero-stuff upsample by S, scale by S, then synthesis filter
         up = jnp.zeros((B, T * S, S), x.dtype).at[:, ::S, :].set(x * S)
         pad = self._taps // 2
-        y = conv1d_im2col(up, self._synthesis, stride=1, padding=pad)
+        y = conv1d(up, self._synthesis, stride=1, padding=pad)
         return y[..., 0]

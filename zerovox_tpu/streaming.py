@@ -24,8 +24,10 @@ import numpy as np
 
 
 @functools.lru_cache(maxsize=32)
-def _window_vocoder(meldec, window_frames: int):
-    """Jitted (mel_padded, start) -> wav program for one window size."""
+def _window_vocoder(meldec, window_frames: int, wire_i16: bool = False):
+    """Jitted (mel_padded, start) -> wav program for one window size.
+    With wire_i16 the int16 conversion is fused into the same program so the
+    per-chunk device->host fetch moves half the bytes (tunneled backends)."""
 
     @functools.partial(jax.jit, static_argnames=())
     def run(variables, mel_padded, start):
@@ -34,7 +36,10 @@ def _window_vocoder(meldec, window_frames: int):
             (0, start, 0),
             (1, window_frames, mel_padded.shape[2]),
         )
-        return meldec.apply(variables, win)
+        wav = meldec.apply(variables, win)
+        if wire_i16:
+            wav = jnp.clip(wav * 32760.0, -32768.0, 32767.0).astype(jnp.int16)
+        return wav
 
     return run
 
@@ -43,7 +48,8 @@ class ChunkStreamer:
     """Fixed-window chunked vocoder over one decoded mel."""
 
     def __init__(self, meldec, meldec_variables, meldec_cfg, mel,
-                 chunk_frames: int = 96, halo_frames: int | None = None):
+                 chunk_frames: int = 96, halo_frames: int | None = None,
+                 wire_i16: bool = False):
         if halo_frames is None:
             halo_frames = meldec_cfg.receptive_field_frames()
         self.halo = halo_frames
@@ -51,11 +57,12 @@ class ChunkStreamer:
         self.chunk = chunk_frames
         self.window = chunk_frames + 2 * halo_frames
         self._vars = meldec_variables
+        self._wire_i16 = wire_i16
         # left halo zeros + right padding so any window start is in range;
         # frames past mel_len are already zero (decoder mask)
         self._mel_padded = jnp.pad(jnp.asarray(mel),
                                    ((0, 0), (self.halo, self.window), (0, 0)))
-        self._run = _window_vocoder(meldec, self.window)
+        self._run = _window_vocoder(meldec, self.window, wire_i16)
 
     def dispatch(self, pos: int):
         """Asynchronously start vocoding the window at mel position `pos`."""
@@ -63,7 +70,10 @@ class ChunkStreamer:
 
     def trim(self, wav, n_frames: int) -> np.ndarray:
         start_s = self.halo * self.up
-        return np.asarray(wav)[0, start_s : start_s + n_frames * self.up]
+        out = np.asarray(wav)[0, start_s : start_s + n_frames * self.up]
+        if self._wire_i16:
+            out = out.astype(np.float32) / 32760.0
+        return out
 
     def chunks(self, mel_len: int, pos: int = 0, first_wav=None) -> Iterator[np.ndarray]:
         """Yield chunks covering mel[pos:mel_len]; `first_wav` is an already-
@@ -88,10 +98,11 @@ def stream_vocode(
     hop_length: int,
     chunk_frames: int = 96,
     halo_frames: int | None = None,
+    wire_i16: bool = False,
 ) -> Iterator[np.ndarray]:
     """Yield waveform chunks covering mel[:, :mel_len]."""
     streamer = ChunkStreamer(meldec, meldec_variables, meldec_cfg, mel,
-                             chunk_frames, halo_frames)
+                             chunk_frames, halo_frames, wire_i16=wire_i16)
     yield from streamer.chunks(mel_len)
 
 
