@@ -8,7 +8,7 @@ resonators with syllabic amplitude envelopes and soft noise "consonants".
 Not intelligible speech — it exists so the speaker-embedding path has a
 plausible voiced, formanted, 22.05 kHz signal out of the box.
 
-    python scripts/gen_refaudio.py   # writes zerovox_tpu/refaudio/en_kevin.wav
+    python scripts/gen_refaudio.py   # writes the bundled voice set
 """
 
 from __future__ import annotations
@@ -38,7 +38,8 @@ def _resonator_mag(freqs: np.ndarray, fc: float, bw: float) -> np.ndarray:
     return 1.0 / np.sqrt(1.0 + ((freqs - fc) / (bw / 2)) ** 2)
 
 
-def syllable(vowel: str, dur: float, f0: float, rng: np.random.Generator) -> np.ndarray:
+def syllable(vowel: str, dur: float, f0: float, rng: np.random.Generator,
+             formant_scale: float = 1.0) -> np.ndarray:
     n = int(dur * SR)
     t = np.arange(n) / SR
     # source: harmonic stack with 1/h rolloff, vibrato + jitter
@@ -51,7 +52,7 @@ def syllable(vowel: str, dur: float, f0: float, rng: np.random.Generator) -> np.
     spec = np.fft.rfft(src)
     freqs = np.fft.rfftfreq(n, 1 / SR)
     mag = np.zeros_like(freqs)
-    for fc, bw in zip(VOWELS[vowel], (90, 110, 170)):
+    for fc, bw in zip((f * formant_scale for f in VOWELS[vowel]), (90, 110, 170)):
         mag += _resonator_mag(freqs, fc, bw)
     mag += 0.05  # spectral floor
     out = np.fft.irfft(spec * mag, n)
@@ -75,32 +76,49 @@ def consonant(dur: float, rng: np.random.Generator) -> np.ndarray:
     return 0.25 * out * env
 
 
-def main(out_path: str | None = None) -> str:
-    rng = np.random.default_rng(20240816)
+# bundled voice set: (base F0 Hz, formant scale, vowel sequence, seed).
+# Names mirror the reference's refaudio naming convention (lang_name.wav);
+# formant scale ~1.15 approximates a shorter (female-ish) vocal tract.
+VOICES = {
+    "en_kevin": (118.0, 1.00, "aeiouaoieuaoeiau", 20240816),
+    "en_linda": (205.0, 1.16, "ieaouaeioueaioau", 20240817),
+    "en_ryan": (98.0, 0.95, "oauieaouaieoaueo", 20240818),
+    "de_kerstin": (195.0, 1.14, "euioaueaoiueaoiu", 20240819),
+    "de_thorsten": (110.0, 0.98, "aoueiaoeuiaoueia", 20240820),
+}
+
+
+def gen_voice(name: str, f0_base: float, formant_scale: float,
+              vowel_seq: str, seed: int, out_dir: str) -> str:
+    rng = np.random.default_rng(seed)
     pieces = [np.zeros(int(0.15 * SR))]
-    f0 = 118.0
-    vowel_seq = "aeiouaoieuaoeiau"
+    f0 = f0_base
     for k, v in enumerate(vowel_seq):
         dur = 0.16 + 0.10 * rng.random()
-        pieces.append(syllable(v, dur, f0, rng))
+        pieces.append(syllable(v, dur, f0, rng, formant_scale))
         f0 *= 0.995  # declination
         if k % 3 == 2:
             pieces.append(consonant(0.05 + 0.03 * rng.random(), rng))
         if k % 5 == 4:
             pieces.append(np.zeros(int(0.12 * SR)))
-            f0 = 118.0 * (0.97 + 0.06 * rng.random())
+            f0 = f0_base * (0.97 + 0.06 * rng.random())
     pieces.append(np.zeros(int(0.15 * SR)))
 
     wav = np.concatenate(pieces)
     wav = wav / np.abs(wav).max() * 0.35
 
-    if out_path is None:
-        out_path = os.path.join(REPO, "zerovox_tpu", "refaudio", "en_kevin.wav")
+    out_path = os.path.join(out_dir, f"{name}.wav")
     from zerovox_tpu.dsp.audio import save_wav
 
     save_wav(out_path, wav.astype(np.float32), SR)
     print(f"wrote {out_path}: {len(wav) / SR:.2f}s")
     return out_path
+
+
+def main(out_dir: str | None = None) -> list[str]:
+    out_dir = out_dir or os.path.join(REPO, "zerovox_tpu", "refaudio")
+    return [gen_voice(name, *spec, out_dir=out_dir)
+            for name, spec in VOICES.items()]
 
 
 if __name__ == "__main__":

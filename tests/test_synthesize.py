@@ -213,3 +213,37 @@ class TestWireDtype:
         c2 = np.concatenate(list(s_f32.tts_stream(text, spk, duration=dur)))
         assert c1.shape == c2.shape
         assert np.abs(c1 - c2).max() <= 1.0 / 32760.0 + 1e-7
+
+
+class TestBundledVoices:
+    """The bundled out-of-box voice set (reference ships 68 recorded wavs in
+    zerovox/tts/refaudio; this zero-egress build generates a synthetic set
+    covering both languages and both voice registers)."""
+
+    NAMES = ["en_kevin.wav", "en_linda.wav", "en_ryan.wav",
+             "de_kerstin.wav", "de_thorsten.wav"]
+
+    def test_all_bundled_voices_resolve(self):
+        from zerovox_tpu.synthesize import ZeroVoxTTS
+
+        avail = ZeroVoxTTS.available_speakerrefs()
+        for name in self.NAMES:
+            assert name in avail, name
+
+    def test_voices_are_voiced_and_distinct(self):
+        """Each bundled wav is voiced (F0 trackable) and the set spans
+        distinct registers (median F0 spread > an octave-ish), so the
+        zero-shot speaker encoder sees genuinely different voices."""
+        from zerovox_tpu.dsp.pitch import estimate_f0
+        from zerovox_tpu.synthesize import ZeroVoxTTS
+
+        medians = {}
+        for name in self.NAMES:
+            wav = ZeroVoxTTS.get_speakerref(name, 22050)
+            assert 2.0 < len(wav) / 22050 < 10.0
+            assert np.sqrt((wav**2).mean()) > 0.02
+            f0 = estimate_f0(wav, 22050, 256)
+            voiced = f0[f0 > 0]
+            assert voiced.size > 0.3 * f0.size, name
+            medians[name] = float(np.median(voiced))
+        assert max(medians.values()) / min(medians.values()) > 1.6, medians
