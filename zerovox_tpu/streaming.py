@@ -65,8 +65,17 @@ class ChunkStreamer:
         self._run = _window_vocoder(meldec, self.window, wire_i16)
 
     def dispatch(self, pos: int):
-        """Asynchronously start vocoding the window at mel position `pos`."""
-        return self._run(self._vars, self._mel_padded, pos)
+        """Asynchronously start vocoding the window at mel position `pos`,
+        and start its device->host copy as soon as the program completes —
+        on tunneled backends the copy (~33 ms RTT) then overlaps whatever
+        the host does next (the duration sync, the previous chunk's yield)
+        instead of serializing behind it."""
+        out = self._run(self._vars, self._mel_padded, pos)
+        try:
+            out.copy_to_host_async()
+        except Exception:
+            pass  # backend without async host copies
+        return out
 
     def trim(self, wav, n_frames: int) -> np.ndarray:
         start_s = self.halo * self.up

@@ -275,6 +275,19 @@ class ZeroVoxTTS:
             self._variables, enc["x"], enc["duration_rounded"], spkemb, T_spec)
         wav = self._jit_vocode(self._meldec_variables, mel)
 
+        def fetch_buffer(w):
+            # start the device->host copy immediately: on tunneled backends
+            # the transfer (~RTT + bytes) then overlaps the duration sync
+            # below instead of serializing behind it
+            buf = self._jit_wav_i16(w) if self._wire_i16 else w
+            try:
+                buf.copy_to_host_async()
+            except Exception:
+                pass
+            return buf
+
+        wav_buf = fetch_buffer(wav)
+
         mel_len = int(jnp.sum(enc["duration_rounded"]))  # overlapped host sync
         mel_len = max(min(mel_len, self.cfg.model.max_mel_len), 1)
         if timer:
@@ -286,16 +299,17 @@ class ZeroVoxTTS:
             mel, _, _ = self._jit_decode(
                 self._variables, enc["x"], enc["duration_rounded"], spkemb, T)
             wav = self._jit_vocode(self._meldec_variables, mel)
+            wav_buf = fetch_buffer(wav)
 
         if timer:
             mel.block_until_ready()
             timer.mark("dec")
 
         if self._wire_i16:
-            i16 = np.asarray(self._jit_wav_i16(wav))[0, : mel_len * self._hop_length]
+            i16 = np.asarray(wav_buf)[0, : mel_len * self._hop_length]
             wav_np = i16.astype(np.float32) / 32760.0
         else:
-            wav_np = np.asarray(wav)[0, : mel_len * self._hop_length]
+            wav_np = np.asarray(wav_buf)[0, : mel_len * self._hop_length]
         if timer:
             timer.mark("meldec")
 
