@@ -209,3 +209,55 @@ class TestWav2Vec2Aligner:
         assert em.ndim == 3 and em.shape[0] == 1
         assert em.shape[2] == len(vocab)
         np.testing.assert_allclose(np.exp(em).sum(-1), 1.0, atol=1e-3)
+
+
+class TestWav2Vec2AlignerPlumbing:
+    """Exercise the REAL Wav2Vec2Aligner path (reference uses torchaudio
+    MMS_FA, utils/preprocess.py:333-342; ours loads any HF wav2vec2-CTC
+    checkpoint). No network: a tiny randomly-initialized Wav2Vec2ForCTC with
+    the uroman vocab is saved locally and loaded through the production
+    loader — proving checkpoint resolution, vocab extraction from the
+    processor, and emission shapes/normalization."""
+
+    def test_hf_checkpoint_loads_and_emits(self, tmp_path):
+        transformers = pytest.importorskip("transformers")
+        import json
+
+        from zerovox_tpu.preprocess.aligner import DEFAULT_LABELS, Wav2Vec2Aligner
+
+        labels = list(DEFAULT_LABELS)
+        vocab = {c: i for i, c in enumerate(labels)}
+        with open(tmp_path / "vocab.json", "w") as f:
+            json.dump(vocab, f)
+        tok = transformers.Wav2Vec2CTCTokenizer(
+            str(tmp_path / "vocab.json"), pad_token="-", word_delimiter_token="'")
+        fe = transformers.Wav2Vec2FeatureExtractor(
+            feature_size=1, sampling_rate=16000, padding_value=0.0,
+            do_normalize=True, return_attention_mask=False)
+        proc = transformers.Wav2Vec2Processor(feature_extractor=fe, tokenizer=tok)
+        cfg = transformers.Wav2Vec2Config(
+            vocab_size=len(tok), hidden_size=32, num_hidden_layers=1,
+            num_attention_heads=2, intermediate_size=64,
+            conv_dim=(16, 16, 16, 16, 16, 16, 16))
+        transformers.Wav2Vec2ForCTC(cfg).save_pretrained(tmp_path)
+        proc.save_pretrained(tmp_path)
+
+        al = Wav2Vec2Aligner(str(tmp_path))
+        # vocab comes from the checkpoint's processor, in checkpoint order
+        # (the tokenizer may append special tokens like <unk>/<s> — real
+        # bundles such as MMS-FA carry extras too)
+        assert al.labels[: len(labels)] == tuple(labels)
+        assert al.dictionary["a"] == 1 and al.blank == 0
+
+        wavs = (np.random.default_rng(0).normal(size=(2, 16000)) * 0.1).astype(np.float32)
+        em = al.emissions(wavs)
+        assert em.shape[0] == 2 and em.shape[2] == len(al.labels)
+        # ~hop-320 frame rate (wav2vec2 conv stack), log-probs normalized
+        assert 16000 // 340 <= em.shape[1] <= 16000 // 300
+        np.testing.assert_allclose(np.exp(em).sum(-1), 1.0, atol=1e-4)
+
+    def test_make_aligner_hard_fails_on_bad_checkpoint(self, tmp_path):
+        from zerovox_tpu.preprocess.aligner import make_aligner
+
+        with pytest.raises(RuntimeError, match="Refusing to fall back"):
+            make_aligner(str(tmp_path / "nonexistent-model"))
