@@ -61,6 +61,27 @@ def _bench_extra_scenarios(synth, sr):
     print(f"scenario batch-cloning: {voice:.2f}s voice in {batch_s:.2f}s "
           f"(rtf {batch_s / max(voice, 1e-9):.4f})", file=sys.stderr)
 
+    # streaming continuity: for glitch-free realtime playback every
+    # inter-chunk wall gap must be shorter than the audio the previous
+    # chunk carried (ratio < 1); report the worst gap over a paragraph
+    para = " ".join([TEXT] * 3)
+    n_phones = len(synth.text2phonemeids(TEXT)[0])
+    dur = np.full(n_phones, 6, np.int32)
+    for _ in range(2):  # warm all programs
+        for _ in synth.tts_stream(TEXT, spk_dummy := np.zeros(
+                (1, 1, synth.cfg.model.emb_size), np.float32), duration=dur):
+            pass
+    worst = 0.0
+    t_prev = time.perf_counter()
+    prev_audio_s = None
+    for chunk in synth.tts_stream(TEXT, spk_dummy, duration=dur):
+        now = time.perf_counter()
+        if prev_audio_s is not None:
+            worst = max(worst, (now - t_prev) / prev_audio_s)
+        t_prev, prev_audio_s = now, len(chunk) / sr
+    print(f"scenario stream-continuity: worst inter-chunk gap = "
+          f"{worst:.3f}x chunk audio (must be < 1 for realtime)", file=sys.stderr)
+
     # StyleTTS decoder variant
     cfg = ZeroVoxConfig()
     cfg = dataclasses.replace(cfg, model=dataclasses.replace(cfg.model,
