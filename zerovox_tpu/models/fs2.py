@@ -48,11 +48,16 @@ class MultiHeadAttention(nn.Module):
         k = k.reshape(B, L, self.n_head, self.d_k)
         v = v.reshape(B, L, self.n_head, self.d_v)
 
-        # [B, h, Lq, Lk]
-        attn = jnp.einsum("bqhd,bkhd->bhqk", q, k) / np.sqrt(self.d_k)
+        # [B, h, Lq, Lk]; scores + softmax in f32 (torch-autocast semantics
+        # — bf16 softmax is numerically fragile), weights cast back so mixed
+        # precision keeps the matmuls in bf16. NB: np.sqrt returns a
+        # strong-typed f32 scalar that would silently upcast everything.
+        scale = 1.0 / float(np.sqrt(self.d_k))
+        attn = jnp.einsum("bqhd,bkhd->bhqk", q, k,
+                          preferred_element_type=jnp.float32) * scale
         if attn_mask is not None:
             attn = jnp.where(attn_mask[:, None, :, :], -jnp.inf, attn)
-        attn = jax.nn.softmax(attn, axis=-1)
+        attn = jax.nn.softmax(attn, axis=-1).astype(x.dtype)
 
         out = jnp.einsum("bhqk,bkhd->bqhd", attn, v).reshape(B, L, self.n_head * self.d_v)
         out = nn.Dense(self.d_model, name="fc")(out)
@@ -159,7 +164,9 @@ class Encoder(nn.Module):
         pemb = jnp.where((puncts == 0)[..., None], 0.0, pemb)
         x = jnp.concatenate([emb, pemb], axis=-1)
 
-        x = x + _position_table(L, self.max_txt_len, d_model)[None, :, :]
+        # cast to x's dtype: an f32 table would silently upcast every
+        # downstream FFT block out of bf16 in mixed-precision mode
+        x = x + _position_table(L, self.max_txt_len, d_model)[None, :, :].astype(x.dtype)
 
         attn_mask = jnp.broadcast_to(pad_mask[:, None, :], (B, L, L))
         # nn.remat keeps the param tree identical; __call__ arg 5
@@ -399,7 +406,7 @@ class FS2Decoder(nn.Module):
         cfg = self.dec_cfg
         d_k = d_v = d_model // cfg.n_head
 
-        x = x + _position_table(T, self.max_mel_len, d_model)[None, :, :]
+        x = x + _position_table(T, self.max_mel_len, d_model)[None, :, :].astype(x.dtype)
 
         attn_mask = jnp.broadcast_to(mel_mask[:, None, :], (B, T, T))
         block_cls = nn.remat(FFTBlock, static_argnums=(5,)) if self.remat else FFTBlock

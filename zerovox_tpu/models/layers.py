@@ -54,8 +54,9 @@ def conv1d(x, kernel, stride=1, padding=0, dilation=1):
     """1-D conv over [B, T, Cin] with torch semantics; lowering picked by
     ZEROVOX_CONV_IMPL (see module docstring). k==1 is a plain matmul."""
     if kernel.shape[0] == 1 and stride == 1 and dilation == 1 and padding == 0:
+        out_dt = jnp.promote_types(x.dtype, kernel.dtype)
         return jnp.einsum("btc,co->bto", x, kernel[0],
-                          preferred_element_type=jnp.float32)
+                          preferred_element_type=jnp.float32).astype(out_dt)
     if _impl(x.shape[0]) == "im2col":
         return conv1d_im2col(x, kernel, stride, padding, dilation)
     # lax.conv requires equal dtypes (the im2col einsum promotes); mirror
@@ -89,8 +90,11 @@ def conv1d_im2col(x, kernel, stride=1, padding=0, dilation=1):
         for i in range(k)
     ]
     patches = jnp.stack(taps, axis=2)  # [B, T_out, k, Cin]
+    # f32 MXU accumulation; output keeps the compute dtype (bf16 in, bf16
+    # out) so mixed precision does not upcast downstream
+    out_dt = jnp.promote_types(x.dtype, kernel.dtype)
     return jnp.einsum("btkc,kco->bto", patches, kernel,
-                      preferred_element_type=jnp.float32)
+                      preferred_element_type=jnp.float32).astype(out_dt)
 
 
 class Conv1d(nn.Module):
@@ -174,9 +178,10 @@ def conv2d_im2col(x, kernel, stride=(1, 1), padding=(1, 1)):
         for j in range(kw):
             taps.append(jax.lax.slice_in_dim(rows, j, j + (Wo - 1) * sw + 1, sw, axis=2))
     patches = jnp.stack(taps, axis=3)  # [B, Ho, Wo, kh*kw, Cin]
+    out_dt = jnp.promote_types(x.dtype, kernel.dtype)
     return jnp.einsum("bhwkc,kco->bhwo", patches,
                       kernel.reshape(kh * kw, Cin, Cout),
-                      preferred_element_type=jnp.float32)
+                      preferred_element_type=jnp.float32).astype(out_dt)
 
 
 class Conv2d(nn.Module):
@@ -282,7 +287,8 @@ def conv_transpose1d_subpixel(x, kernel, stride: int, padding: int):
         )  # [B, M, U, Cin]
         kq = kernel[jnp.array(taps)]  # [U, Cin, Cout]
         phases.append(jnp.einsum("bmuc,uco->bmo", patches, kq,
-                                 preferred_element_type=jnp.float32))
+                                 preferred_element_type=jnp.float32)
+                      .astype(jnp.promote_types(x.dtype, kernel.dtype)))
 
     y = jnp.stack(phases, axis=2).reshape(B, M * s, Cout)
     return y[:, :T_out, :]
