@@ -84,3 +84,35 @@ class TestBatchedResblock:
         batched = np.asarray(jax.vmap(f)(x))
         for b in range(B):
             np.testing.assert_allclose(batched[b], np.asarray(f(x[b])), atol=1e-5)
+
+
+class TestBf16Kernels:
+    def test_fused_mrf_bf16_matches_f32(self):
+        """bf16 inference feeds the kernels bf16 activations/weights; the
+        kernel must accept them (bf16 DMA scratch, f32 accumulation, bf16
+        store) and stay close to the f32 path."""
+        import jax.numpy as jnp
+
+        from zerovox_tpu.ops.pallas.mrf import fused_mrf, mrf_reference
+
+        rng = np.random.default_rng(0)
+        C, T = 64, 256
+        x = rng.normal(size=(2, T, C)).astype(np.float32) * 0.3
+        dil = (1, 3)
+        towers = []
+        for k in (3, 5):
+            towers.append(tuple(
+                jnp.asarray(a) for a in (
+                    rng.normal(size=(len(dil), k, C, C)).astype(np.float32) * 0.05,
+                    rng.normal(size=(len(dil), C)).astype(np.float32) * 0.01,
+                    rng.normal(size=(len(dil), k, C, C)).astype(np.float32) * 0.05,
+                    rng.normal(size=(len(dil), C)).astype(np.float32) * 0.01,
+                )))
+
+        ref = mrf_reference(jnp.asarray(x[0]), towers, dil)
+        bf = fused_mrf(jnp.asarray(x).astype(jnp.bfloat16),
+                       [tuple(a.astype(jnp.bfloat16) for a in t) for t in towers],
+                       dil, (3, 5), tile=128, interpret=True)
+        assert bf.dtype == jnp.bfloat16
+        err = float(jnp.abs(bf[0].astype(jnp.float32) - ref).max())
+        assert err < 0.05, err  # bf16 rounding envelope

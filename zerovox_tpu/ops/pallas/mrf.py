@@ -51,7 +51,7 @@ def _mrf_kernel(x_hbm, *refs, dilations, kernel_sizes, tile, halo, seq_len):
     pos = jax.lax.broadcasted_iota(jnp.int32, (win_len, C), 0) + i * tile - halo
     valid = (pos >= 0) & (pos < seq_len)
 
-    x0 = jnp.where(valid, win_scratch[:], 0.0)
+    x0 = jnp.where(valid, win_scratch[:].astype(jnp.float32), 0.0)
     acc = jnp.zeros_like(x0)
     for t in range(n):
         w1, b1, w2, b2 = refs[4 * t: 4 * t + 4]
@@ -64,7 +64,8 @@ def _mrf_kernel(x_hbm, *refs, dilations, kernel_sizes, tile, halo, seq_len):
             xt = _conv_same(xt, w2[p], 1) + b2[p][None, :]
             win = jnp.where(valid, win + xt, 0.0)
         acc = acc + win
-    o_ref[0, :, :] = (acc / n)[halo: halo + tile, :]
+    # f32 VMEM accumulation; store in the output dtype (bf16 inference)
+    o_ref[0, :, :] = (acc / n)[halo: halo + tile, :].astype(o_ref.dtype)
 
 
 def _pick_tile(towers, dilations, kernel_sizes, c: int = 128,
@@ -140,7 +141,9 @@ def fused_mrf(
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((B, T_pad, C), x.dtype),
         scratch_shapes=[
-            pltpu.VMEM((win, C), jnp.float32),
+            # window scratch follows the input dtype (bf16 inference halves
+            # the DMA bytes and resident VMEM; matmuls still accumulate f32)
+            pltpu.VMEM((win, C), x.dtype),
             pltpu.SemaphoreType.DMA,
         ],
         interpret=interpret,

@@ -55,14 +55,17 @@ def _roll(x, shift: int):
 def _conv_same(win, w, dilation: int):
     """'same' conv over the VMEM window via k circularly-shifted matmuls.
     Wrap-around rows are garbage, but they stay within the halo (the halo is
-    sized to the block's total receptive field and never written out)."""
+    sized to the block's total receptive field and never written out).
+    `win` must be f32 (Mosaic cannot rotate non-32-bit data); bf16 weights
+    are upcast per-tap in VMEM."""
     k = w.shape[0]
     half = (k - 1) // 2
     out = None
     for i in range(k):
         off = (i - half) * dilation
         shifted = _roll(win, -off) if off != 0 else win
-        term = jnp.dot(shifted, w[i], preferred_element_type=jnp.float32)
+        term = jnp.dot(shifted, w[i].astype(jnp.float32),
+                       preferred_element_type=jnp.float32)
         out = term if out is None else out + term
     return out
 
@@ -87,7 +90,9 @@ def _resblock_kernel(x_hbm, w1_ref, b1_ref, w2_ref, b2_ref, o_ref, win_scratch, 
     pos = jax.lax.broadcasted_iota(jnp.int32, (win_len, C), 0) + i * tile - halo
     valid = (pos >= 0) & (pos < seq_len)
 
-    win = jnp.where(valid, win_scratch[:], 0.0)
+    # compute in f32: Mosaic's roll has no bf16 support, and f32
+    # accumulation matches the XLA path's numerics
+    win = jnp.where(valid, win_scratch[:].astype(jnp.float32), 0.0)
     for p, d in enumerate(dilations):
         xt = _leaky(win)
         xt = _conv_same(xt, w1_ref[p], d) + b1_ref[p][None, :]
@@ -95,7 +100,7 @@ def _resblock_kernel(x_hbm, w1_ref, b1_ref, w2_ref, b2_ref, o_ref, win_scratch, 
         xt = _leaky(xt)
         xt = _conv_same(xt, w2_ref[p], 1) + b2_ref[p][None, :]
         win = jnp.where(valid, win + xt, 0.0)
-    o_ref[0, :, :] = win[halo : halo + tile, :]
+    o_ref[0, :, :] = win[halo : halo + tile, :].astype(o_ref.dtype)
 
 
 def fused_resblock1(
@@ -149,7 +154,9 @@ def fused_resblock1(
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((B, T_pad, C), x.dtype),
         scratch_shapes=[
-            pltpu.VMEM((win, C), jnp.float32),
+            # window scratch follows the input dtype (bf16 inference halves
+            # the DMA bytes and resident VMEM; matmuls still accumulate f32)
+            pltpu.VMEM((win, C), x.dtype),
             pltpu.SemaphoreType.DMA,
         ],
         interpret=interpret,
