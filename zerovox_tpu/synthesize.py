@@ -288,7 +288,12 @@ class ZeroVoxTTS:
 
         wav_buf = fetch_buffer(wav)
 
-        mel_len = int(jnp.sum(enc["duration_rounded"]))  # overlapped host sync
+        if dur is not None:
+            # teacher-forced durations: the mel length is known host-side,
+            # no device sync at all
+            mel_len = int(dur.sum())
+        else:
+            mel_len = int(jnp.sum(enc["duration_rounded"]))  # overlapped host sync
         mel_len = max(min(mel_len, self.cfg.model.max_mel_len), 1)
         if timer:
             timer.mark("pe")
@@ -429,7 +434,10 @@ class ZeroVoxTTS:
                                  wire_i16=self._wire_i16)
         first_wav = streamer.dispatch(0)
 
-        true_len = int(jnp.sum(enc["duration_rounded"]))  # overlapped sync
+        if dur is not None:
+            true_len = spec_len  # forced: known host-side, no device sync
+        else:
+            true_len = int(jnp.sum(enc["duration_rounded"]))  # overlapped sync
         mel_len = max(min(true_len, self.cfg.model.max_mel_len), 1)
 
         if mel_len > T_spec:
