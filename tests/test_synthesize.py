@@ -247,3 +247,23 @@ class TestBundledVoices:
             assert voiced.size > 0.3 * f0.size, name
             medians[name] = float(np.median(voiced))
         assert max(medians.values()) / min(medians.values()) > 1.6, medians
+
+
+class TestBeyondBuckets:
+    def test_text_beyond_trained_length_synthesizes(self, synth):
+        """Text longer than max_txt_len (the trained position-table length)
+        still synthesizes through plain tts(): the bucket extends on the
+        128-grid and the sinusoid table regenerates statically (reference
+        regenerates at runtime, fs2.py:287-294/:383-388)."""
+        from zerovox_tpu.synthesize import TEXT_BUCKETS, pick_bucket
+
+        words = "hello there friend " * 8
+        n = len(synth.text2phonemeids(words)[0])
+        assert n > synth.cfg.model.max_txt_len  # 64 in the small cfg
+        spk = np.zeros((1, 1, synth.cfg.model.emb_size), np.float32)
+        dur = np.full(n, 2, np.int32)
+        wav, _, length, _ = synth.tts_ex(words, spk, duration=dur, want_mel=False)
+        # mel length clamps to max_mel_len; audio comes back finite
+        assert 1 <= length <= synth.cfg.model.max_mel_len
+        assert wav.shape[0] == length * synth.cfg.audio.hop_size
+        assert np.isfinite(wav).all()
