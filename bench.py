@@ -65,16 +65,16 @@ def _bench_extra_scenarios(synth, sr):
     # inter-chunk wall gap must be shorter than the audio the previous
     # chunk carried (ratio < 1); report the worst gap over a paragraph
     para = " ".join([TEXT] * 3)
-    n_phones = len(synth.text2phonemeids(TEXT)[0])
+    n_phones = len(synth.text2phonemeids(para)[0])
     dur = np.full(n_phones, 6, np.int32)
     for _ in range(2):  # warm all programs
-        for _ in synth.tts_stream(TEXT, spk_dummy := np.zeros(
+        for _ in synth.tts_stream(para, spk_dummy := np.zeros(
                 (1, 1, synth.cfg.model.emb_size), np.float32), duration=dur):
             pass
     worst = 0.0
     t_prev = time.perf_counter()
     prev_audio_s = None
-    for chunk in synth.tts_stream(TEXT, spk_dummy, duration=dur):
+    for chunk in synth.tts_stream(para, spk_dummy, duration=dur):
         now = time.perf_counter()
         if prev_audio_s is not None:
             worst = max(worst, (now - t_prev) / prev_audio_s)

@@ -81,13 +81,6 @@ def main():
     wav_i16 = to_i16(wav)
     jax.device_get(probe(wav_i16).astype(jnp.float32))
 
-    def fetch_time(arr, n=8):
-        t0 = time.perf_counter()
-        for _ in range(n):
-            np.asarray(arr)
-            arr.copy_to_host_async() if hasattr(arr, "copy_to_host_async") else None
-        return (time.perf_counter() - t0) / n
-
     # NOTE: repeated np.asarray of the SAME buffer may be client-cached;
     # defeat it by re-deriving a fresh buffer each iteration
     bump = jax.jit(lambda w, i: w + (i * 0).astype(w.dtype))

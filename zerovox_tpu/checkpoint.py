@@ -11,8 +11,10 @@ target: mel/waveform within 1e-2 of the PyTorch reference):
     folded at import exactly like the reference's remove_weight_norm call,
     model.py:115).
 
-Native-framework checkpoints are saved/restored with orbax
-(zerovox_tpu/training/checkpointing.py); this module is only the torch bridge.
+Native-framework checkpoints are saved/restored by
+zerovox_tpu/training/checkpointing.py (portable flax-msgpack files by
+default, orbax sharded TrainState checkpoints with
+--checkpoint-format orbax); this module is only the torch bridge.
 """
 
 from __future__ import annotations

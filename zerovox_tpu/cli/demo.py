@@ -73,6 +73,12 @@ def main():
 
         jax.config.update("jax_platforms", "cpu")
 
+    # persistent XLA compile cache: first demo run per machine compiles each
+    # bucket once; later processes start warm (ZEROVOX_COMPILE_CACHE=0 disables)
+    from zerovox_tpu.utils.compile_cache import enable_compile_cache
+
+    enable_compile_cache()
+
     if args.random_model:
         synth = ZeroVoxTTS.from_random(verbose=args.verbose)
         modelcfg = synth.cfg.to_dict()

@@ -28,13 +28,16 @@ import numpy as np
 #   * batch-1 serving shapes: im2col is faster end-to-end (bench.py RTF
 #     0.0182 im2col vs 0.0190 native; first-chunk p50 77 vs 88 ms).
 # "auto" therefore picks im2col for B==1 programs and native otherwise.
-_CONV_IMPL = os.environ.get("ZEROVOX_CONV_IMPL", "auto")
+# Read at trace time (not import time) so it behaves like the other runtime
+# switches (ZEROVOX_USE_PALLAS / ZEROVOX_WIRE_DTYPE): setting it after
+# importing zerovox_tpu still takes effect for the next compiled program.
 
 
 def _impl(batch: int) -> str:
-    if _CONV_IMPL == "auto":
+    impl = os.environ.get("ZEROVOX_CONV_IMPL", "auto")
+    if impl == "auto":
         return "im2col" if batch == 1 else "native"
-    return _CONV_IMPL
+    return impl
 
 
 def torch_std(x: jnp.ndarray, axis: int = -1, keepdims: bool = True) -> jnp.ndarray:
