@@ -234,6 +234,70 @@ class TestTrainer:
             "0000.msgpack", "0001.msgpack", "0002.msgpack"]
         assert trainer._host_step == 3
 
+    def test_resume_matches_unkilled_run(self, datamodule, tmp_path):
+        """--resume semantics: a run killed after epoch 1 and resumed from
+        its orbax TrainState (params + Adam moments + step) must end epoch 2
+        with exactly the params of an unkilled 3-epoch run. Exercises the
+        epoch-seeded loader (train_dataloader(epoch)) so data order is a
+        function of the epoch index, not process history."""
+        cfg = tiny_cfg()
+        mesh = make_mesh(MeshConfig(data=8), devices=jax.devices()[:8])
+
+        def mk_trainer(out):
+            tcfg = TrainerConfig(max_epochs=3, warmup_epochs=1, batch_size=8,
+                                 out_folder=str(out), seed=0,
+                                 checkpoint_format="orbax")
+            return Trainer(cfg, tcfg, steps_per_epoch=1, mesh=mesh)
+
+        loader = datamodule.train_dataloader
+
+        # run A: 3 epochs straight through
+        trainer_a = mk_trainer(tmp_path / "a")
+        state_a = trainer_a.init_state(device_batch(next(iter(loader(0)))))
+        state_a = trainer_a.fit(loader, state_a)
+
+        # run B: killed after epoch 1's checkpoint (max_epochs mutated after
+        # construction so the LR schedule is still built for 3 epochs)
+        trainer_b = mk_trainer(tmp_path / "b")
+        state_b = trainer_b.init_state(device_batch(next(iter(loader(0)))))
+        trainer_b.tcfg.max_epochs = 2
+        trainer_b.fit(loader, state_b)
+
+        # "new process": fresh trainer + resume
+        trainer_c = mk_trainer(tmp_path / "b")
+        state_c = trainer_c.init_state(device_batch(next(iter(loader(0)))))
+        state_c, start_epoch = trainer_c.resume_from(state_c)
+        assert start_epoch == 2
+        assert trainer_c._host_step == 2  # one step/epoch, two epochs done
+        state_c = trainer_c.fit(loader, state_c, start_epoch=start_epoch)
+
+        assert int(state_c.step) == int(state_a.step) == 3
+        for a, c in zip(jax.tree.leaves(state_a.params),
+                        jax.tree.leaves(state_c.params)):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(c),
+                                       rtol=1e-6, atol=1e-7)
+        # Adam moments continued, not reset
+        for a, c in zip(jax.tree.leaves(state_a.opt_state),
+                        jax.tree.leaves(state_c.opt_state)):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(c),
+                                       rtol=1e-5, atol=1e-7)
+
+    def test_orbax_keep_checkpoints_prunes(self, datamodule, tmp_path):
+        """keep_checkpoints applies to the orbax format too (max_to_keep)."""
+        cfg = tiny_cfg()
+        mesh = make_mesh(MeshConfig(data=8), devices=jax.devices()[:8])
+        tcfg = TrainerConfig(max_epochs=3, batch_size=8,
+                             out_folder=str(tmp_path / "m"), seed=0,
+                             checkpoint_format="orbax", keep_checkpoints=2)
+        trainer = Trainer(cfg, tcfg, steps_per_epoch=1, mesh=mesh)
+        batch = device_batch(next(iter(datamodule.train_dataloader())))
+        state = trainer.init_state(batch)
+        trainer.fit(lambda: iter([batch]), state)
+        kept = sorted(
+            d for d in os.listdir(tmp_path / "m" / "checkpoints" / "orbax")
+            if d.isdigit())
+        assert kept == ["1", "2"]
+
     def test_fit_orbax_format(self, datamodule, tmp_path):
         cfg = tiny_cfg()
         mesh = make_mesh(MeshConfig(data=8), devices=jax.devices()[:8])

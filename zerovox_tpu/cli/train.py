@@ -42,6 +42,14 @@ def get_args(argv=None):
     parser.add_argument("--name", type=str, help="run name (optional)")
     parser.add_argument("--checkpoint", default=None, type=str,
                         help="Path to model checkpoint file (torch .ckpt or native .msgpack)")
+    parser.add_argument("--resume", action="store_true",
+                        help="resume a killed run from the newest orbax "
+                             "checkpoint in --out-folder: restores the full "
+                             "TrainState (weights + Adam moments + LR "
+                             "position) and continues at the next epoch "
+                             "(implies --checkpoint-format orbax)")
+    parser.add_argument("--keep-checkpoints", type=int, default=0,
+                        help="prune to the newest N checkpoints (0 = keep all)")
     parser.add_argument("--verbose", action="store_true")
     parser.add_argument("--train-decoder-only", action="store_true")
     parser.add_argument("--remat", action="store_true",
@@ -116,6 +124,10 @@ def main(argv=None):
 
         jax.config.update("jax_platforms", "cpu")
 
+    from zerovox_tpu.utils.compile_cache import enable_compile_cache
+
+    enable_compile_cache()
+
     from zerovox_tpu.parallel.mesh import MeshConfig, initialize_distributed, make_mesh
     from zerovox_tpu.training.data import SpeechDataModule
     from zerovox_tpu.training.data import preprocessed_data_path
@@ -179,14 +191,18 @@ def main(argv=None):
         batch_size=args.batch_size, out_folder=args.out_folder, name=args.name,
         train_decoder_only=args.train_decoder_only,
         precision="bf16-mixed" if "16" in str(args.precision) else "32",
-        checkpoint_format=args.checkpoint_format,
+        checkpoint_format="orbax" if args.resume else args.checkpoint_format,
+        keep_checkpoints=args.keep_checkpoints,
     )
     trainer = Trainer(cfg, tcfg, steps_per_epoch=datamodule.steps_per_epoch(), mesh=mesh)
 
     example = device_batch(next(iter(datamodule.train_dataloader())))
     state = trainer.init_state(example)
 
-    if args.checkpoint:
+    start_epoch = 0
+    if args.resume:
+        state, start_epoch = trainer.resume_from(state)
+    elif args.checkpoint:
         print(f"incremental training mode: restoring model weights from {args.checkpoint}")
         if str(args.checkpoint).endswith(".msgpack"):
             from zerovox_tpu.training.checkpointing import load_native_checkpoint
@@ -200,7 +216,7 @@ def main(argv=None):
         state = trainer.restore_into(state, variables,
                                      reinit_decoder=args.train_decoder_only)
 
-    trainer.fit(datamodule.train_dataloader, state)
+    trainer.fit(datamodule.train_dataloader, state, start_epoch=start_epoch)
 
 
 if __name__ == "__main__":

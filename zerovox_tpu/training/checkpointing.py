@@ -49,11 +49,16 @@ def load_checkpoint_meta(path) -> dict | None:
 # ------------------------------------------------------------------- orbax
 
 
-def save_orbax(ckpt_dir, state: Any, step: int) -> None:
-    """Sharded (multi-host-safe) checkpoint of a full TrainState."""
+def save_orbax(ckpt_dir, state: Any, step: int, keep: int = 0) -> None:
+    """Sharded (multi-host-safe) checkpoint of a full TrainState.
+
+    keep > 0 prunes to the newest `keep` steps (TrainerConfig.keep_checkpoints
+    semantics for the orbax format; 0 keeps all, the reference's
+    save_top_k=max_epochs discipline)."""
     import orbax.checkpoint as ocp
 
-    with ocp.CheckpointManager(os.path.abspath(ckpt_dir)) as mngr:
+    options = ocp.CheckpointManagerOptions(max_to_keep=keep if keep > 0 else None)
+    with ocp.CheckpointManager(os.path.abspath(ckpt_dir), options=options) as mngr:
         mngr.save(step, args=ocp.args.StandardSave(state))
         mngr.wait_until_finished()
 
@@ -64,3 +69,14 @@ def restore_orbax(ckpt_dir, abstract_state: Any, step: int | None = None) -> Any
     with ocp.CheckpointManager(os.path.abspath(ckpt_dir)) as mngr:
         step = step if step is not None else mngr.latest_step()
         return mngr.restore(step, args=ocp.args.StandardRestore(abstract_state))
+
+
+def latest_orbax_step(ckpt_dir) -> int | None:
+    """Newest saved step label (= epoch in the Trainer's convention), or
+    None when the directory holds no checkpoints."""
+    import orbax.checkpoint as ocp
+
+    if not os.path.isdir(ckpt_dir):
+        return None
+    with ocp.CheckpointManager(os.path.abspath(ckpt_dir)) as mngr:
+        return mngr.latest_step()

@@ -205,6 +205,7 @@ class SpeechDataModule:
         self._stats = stats
         self.batch_size = batch_size
         self.num_workers = max(1, num_workers)
+        self._seed = seed
         self._rng = np.random.default_rng(seed)
         self._ref_mel_len = ref_mel_len
         self._base_path = base_path
@@ -223,14 +224,14 @@ class SpeechDataModule:
         assert self.train_dataset is not None
         return max(1, len(self.train_dataset) // self.batch_size)
 
-    def _batch_indices(self):
+    def _batch_indices(self, rng):
         """Shuffle, then group size-adjacent items so bucket padding is tight.
 
         Returns a list of (index_array, n_pad) pairs; n_pad > 0 only on the
         tail batch when drop_last=False (wrap-around duplicate indices).
         """
         ds = self.train_dataset
-        idx = self._rng.permutation(len(ds))
+        idx = rng.permutation(len(ds))
         # coarse length-sort within shuffled chunks keeps batches length-homogeneous
         chunk = self.batch_size * 32
         batches = []
@@ -250,21 +251,29 @@ class SpeechDataModule:
                 if n_pad:
                     b = np.concatenate([b, idx[:n_pad]])
                 batches.append((b, n_pad))
-        self._rng.shuffle(batches)
+        rng.shuffle(batches)
         return batches
 
-    def train_dataloader(self):
-        """Generator of (x, y) host batches with threaded prefetch."""
+    def train_dataloader(self, epoch: int | None = None):
+        """Generator of (x, y) host batches with threaded prefetch.
+
+        When `epoch` is given, batch order and ref-mel crops derive from
+        a fresh rng seeded by (seed, epoch) instead of the module's
+        stateful rng — so a resumed run at epoch E sees exactly the data
+        order an unkilled run would have seen (Trainer passes the epoch
+        index when the loader accepts one)."""
         assert self.train_dataset is not None, "call prepare_data() first"
         ds = self.train_dataset
-        batches = self._batch_indices()
+        rng = (np.random.default_rng((self._seed, epoch))
+               if epoch is not None else self._rng)
+        batches = self._batch_indices(rng)
         q: queue.Queue = queue.Queue(maxsize=self.num_workers * 2)
         stop = object()
 
         def worker(batch_list):
             for bidx, n_pad in batch_list:
                 items = [ds.load_item(int(i)) for i in bidx]
-                x, y = collate(items, self._rng, ref_mel_len=self._ref_mel_len)
+                x, y = collate(items, rng, ref_mel_len=self._ref_mel_len)
                 x["pad_items"] = n_pad
                 q.put((x, y))
             q.put(stop)

@@ -256,15 +256,47 @@ class Trainer:
 
     # ---------------------------------------------------------------- epochs
 
-    def fit(self, batches_per_epoch: Callable[[], Any], state: TrainState,
-            start_epoch: int = 0) -> TrainState:
-        """`batches_per_epoch()` yields host batch dicts for one epoch."""
-        from zerovox_tpu.training.checkpointing import save_native_checkpoint
-
-        rng = jax.random.PRNGKey(self.tcfg.seed + 1)
+    def checkpoint_root(self) -> str:
         ckpt_root = os.path.join(self.tcfg.out_folder, "checkpoints")
         if self.tcfg.name:
             ckpt_root = os.path.join(ckpt_root, self.tcfg.name)
+        return ckpt_root
+
+    def resume_from(self, state: TrainState, ckpt_root: str | None = None
+                    ) -> tuple[TrainState, int]:
+        """Restore the FULL TrainState (params + Adam moments + step) from
+        the newest orbax checkpoint under `ckpt_root`/orbax and return
+        (state, start_epoch) for `fit`. The reference can only re-import
+        weights (utils/train_tts.py:246-278 manual state-dict surgery);
+        this resumes optimizer state and LR position too."""
+        from zerovox_tpu.training.checkpointing import latest_orbax_step, restore_orbax
+
+        ckpt_root = ckpt_root or self.checkpoint_root()
+        orbax_dir = os.path.join(ckpt_root, "orbax")
+        epoch = latest_orbax_step(orbax_dir)
+        if epoch is None:
+            raise FileNotFoundError(f"no orbax checkpoints under {orbax_dir}")
+        state = restore_orbax(orbax_dir, state, step=epoch)
+        self._host_step = int(jax.device_get(state.step))
+        print(f"resumed from {orbax_dir} at epoch {epoch} "
+              f"(step {self._host_step}); continuing at epoch {epoch + 1}")
+        return state, epoch + 1
+
+    def fit(self, batches_per_epoch: Callable[..., Any], state: TrainState,
+            start_epoch: int = 0) -> TrainState:
+        """`batches_per_epoch()` yields host batch dicts for one epoch.
+        Loaders that accept an argument are passed the epoch index so data
+        order is a function of the epoch, not process history (resume
+        determinism — SpeechDataModule.train_dataloader(epoch))."""
+        import inspect
+
+        try:
+            loader_takes_epoch = bool(inspect.signature(batches_per_epoch).parameters)
+        except (TypeError, ValueError):
+            loader_takes_epoch = False
+
+        rng = jax.random.PRNGKey(self.tcfg.seed + 1)
+        ckpt_root = self.checkpoint_root()
         os.makedirs(ckpt_root, exist_ok=True)
 
         host_step = getattr(self, "_host_step", 0)
@@ -274,17 +306,24 @@ class Trainer:
             # batched device_get at epoch end (and every log_every_n_steps
             # for tensorboard/NaN checks)
             pending: list[dict] = []
-            for batch in batches_per_epoch():
+            checked = 0
+            for batch in (batches_per_epoch(epoch) if loader_takes_epoch
+                          else batches_per_epoch()):
                 batch = device_batch(batch)
                 batch = shard_batch(batch, self.mesh)
                 state, losses = self._train_step(state, batch, rng)
                 host_step += 1
                 pending.append(losses)
                 if host_step % self.tcfg.log_every_n_steps == 0:
-                    host_losses = jax.device_get(losses)
-                    if not np.isfinite(host_losses["duration_loss"]):
-                        print(f"*** error: invalid duration loss detected: "
-                              f"{host_losses['duration_loss']}")
+                    # one batched device_get of EVERY step since the last
+                    # gate, so a NaN at any step (not just every Nth) is
+                    # caught at the next gate (reference model.py:431-432
+                    # checks per step; we were keeping the scalars on
+                    # device anyway for the epoch average)
+                    window = jax.device_get(pending[checked:])
+                    checked = len(pending)
+                    self._check_finite(window, host_step)
+                    host_losses = window[-1]
                     self._log_scalars(
                         {"loss": host_losses["loss"], "mel": host_losses["mel_loss"],
                          "pitch": host_losses["pitch_loss"], "energy": host_losses["energy_loss"],
@@ -296,9 +335,21 @@ class Trainer:
                 {k: float(v) for k, v in d.items()}
                 for d in jax.device_get(pending)
             ]
+            self._check_finite(epoch_losses[checked:], host_step)
             self._host_step = host_step
             self._on_epoch_end(epoch, epoch_losses, state, ckpt_root, t0)
         return state
+
+    @staticmethod
+    def _check_finite(host_losses: list, host_step: int) -> None:
+        """Flag non-finite losses in a fetched window of per-step scalars
+        (reference's per-step duration NaN/Inf print, model.py:431-432)."""
+        for i, d in enumerate(host_losses):
+            bad = [k for k, v in d.items() if not np.isfinite(v)]
+            if bad:
+                step = host_step - len(host_losses) + 1 + i
+                print(f"*** error: invalid loss detected at step {step}: "
+                      + ", ".join(f"{k}={float(d[k])}" for k in bad))
 
     def _on_epoch_end(self, epoch, epoch_losses, state, ckpt_root, t0):
         from zerovox_tpu.training.checkpointing import save_native_checkpoint
@@ -325,8 +376,10 @@ class Trainer:
             if self.tcfg.checkpoint_format == "orbax":
                 from zerovox_tpu.training.checkpointing import save_orbax
 
-                # orbax coordinates across processes itself
-                save_orbax(os.path.join(ckpt_root, "orbax"), state, step=epoch)
+                # orbax coordinates across processes itself; keep_checkpoints
+                # pruning is orbax's max_to_keep
+                save_orbax(os.path.join(ckpt_root, "orbax"), state, step=epoch,
+                           keep=self.tcfg.keep_checkpoints)
             elif jax.process_index() == 0:
                 path = os.path.join(ckpt_root, f"{epoch:04d}.msgpack")
                 save_native_checkpoint(path, {"params": state.params,
