@@ -9,9 +9,12 @@ plus explicit transliterations for letters that do not decompose (ß, æ, ø, þ
 đ, ł, ...). Non-Latin scripts are covered so mixed-script input degrades
 gracefully: Greek, Cyrillic, Arabic, Hebrew, Devanagari (table-driven),
 Korean Hangul (algorithmic jamo decomposition, Revised-Romanization), and
-Japanese kana (with yōon digraphs, sokuon gemination and chōonpu). Han
-ideographs have no offline reading data (uroman ships megabyte-scale pinyin
-tables) and fall back to NFKD (dropped) — the one documented gap. When the
+Japanese kana (with yōon digraphs, sokuon gemination and chōonpu), and Han
+ideographs via a bundled frequency-ranked toneless-pinyin table
+(han_pinyin.py: ~2000 most frequent characters, ~96% of running Chinese
+text; rarer ideographs are dropped — the documented coverage cutoff).
+Han runs are grouped into words with jieba when installed (pinyin joined
+within a word), else each character romanizes as its own word. When the
 real `uroman` package is importable it is used instead.
 """
 
@@ -159,6 +162,39 @@ _THAI_DROP = {"\u0e47", "\u0e48", "\u0e49", "\u0e4a", "\u0e4b", "\u0e4c",
 _THAI_DIGITS = {chr(0x0E50 + d): str(d) for d in range(10)}
 
 
+def _is_han(ch: str) -> bool:
+    cp = ord(ch)
+    return (0x4E00 <= cp <= 0x9FFF or 0x3400 <= cp <= 0x4DBF
+            or 0xF900 <= cp <= 0xFAFF)
+
+
+@functools.lru_cache(maxsize=1)
+def _jieba():
+    try:  # pragma: no cover - optional dependency
+        import jieba
+
+        jieba.setLogLevel(60)
+        return jieba
+    except Exception:
+        return None
+
+
+def _romanize_han(run: str) -> str:
+    """Han run -> space-separated pinyin words (uroman emits per-character
+    readings; with jieba installed, characters of one word are joined so
+    the downstream tokenizer sees word-level pause structure)."""
+    from zerovox_tpu.text.han_pinyin import pinyin
+
+    seg = _jieba()
+    words = seg.cut(run) if seg is not None else run
+    out = []
+    for word in words:
+        r = "".join(pinyin(c) or "" for c in word)
+        if r:
+            out.append(r)
+    return " " + " ".join(out) + " " if out else ""
+
+
 def _hangul_syllable(cp: int) -> str:
     idx = cp - 0xAC00
     lead = idx // 588
@@ -245,6 +281,13 @@ def _romanize_fallback(text: str) -> str:
     i, n = 0, len(text)
     while i < n:
         ch = text[i]
+        if _is_han(ch):
+            j = i
+            while j < n and _is_han(text[j]):
+                j += 1
+            out.append(_romanize_han(text[i:j]))
+            i = j
+            continue
         k = _norm_kana(ch)
         if k in _KANA or k in _KANA_SMALL or k in (_SOKUON, _CHOONPU):
             i = _emit_kana(text, i, out)
