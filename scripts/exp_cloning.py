@@ -45,28 +45,37 @@ import yaml
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, REPO)
 
-from zerovox_tpu.utils.synthvoice import VoiceSpec, char_f0, render_text_with_boundaries
+from zerovox_tpu.utils.synthvoice import (VoiceSpec, char_f0_voice,
+                                          render_text_with_boundaries)
 
 SR = 22050
 HOP = 256
 PHONES = "'-abcdefghijklmnopqrstuvwxyz"
 PUNCTS = " ,.;:-!?\""
 
-# four synthetic speakers spanning a 1.5x pitch range with distinct
-# harmonic timbre and vibrato style
+# Four synthetic speakers with speech-like statistics: a NARROW exponential
+# content ladder (1 octave across the alphabet, as prosody within a
+# speaker) and WIDE voice registers (3.8x = ~1.9 octaves across speakers,
+# f0_scale 0.55..2.1) plus distinct harmonic timbre/vibrato. The first
+# corpus design (linear 115 Hz ladder = 4.4 content octaves, registers only
+# 1.5x) buried the voice signal under the pitch normalization + 64-bin
+# variance quantization: a voice shifted normalized pitch by ~1.5 bins and
+# the voice-blind pitch-loss floor was ~6e-4, so conditioning had almost no
+# gradient (documented in docs/CONVERGENCE.md).
+_LADDER = (220.0, 1.0)
 VOICES = {
-    "alto": VoiceSpec("alto", f0_scale=0.85,
+    "bass": VoiceSpec("bass", f0_scale=0.55, ladder=_LADDER,
                       harmonic_amps=(0.60, 0.12, 0.04, 0.015), tilt=-0.4,
                       vibrato_rate=4.5, vibrato_depth=0.008),
-    "tenor": VoiceSpec("tenor", f0_scale=1.00,
+    "tenor": VoiceSpec("tenor", f0_scale=0.85, ladder=_LADDER,
                        harmonic_amps=(0.50, 0.15, 0.07, 0.03), tilt=0.0,
                        vibrato_rate=5.0, vibrato_depth=0.010),
-    "mezzo": VoiceSpec("mezzo", f0_scale=1.12,
+    "mezzo": VoiceSpec("mezzo", f0_scale=1.35, ladder=_LADDER,
                        harmonic_amps=(0.35, 0.30, 0.18, 0.08), tilt=0.25,
                        vibrato_rate=5.5, vibrato_depth=0.013),
-    "bright": VoiceSpec("bright", f0_scale=1.26,
-                        harmonic_amps=(0.22, 0.30, 0.26, 0.16), tilt=0.45,
-                        vibrato_rate=6.2, vibrato_depth=0.016),
+    "soprano": VoiceSpec("soprano", f0_scale=2.10, ladder=_LADDER,
+                         harmonic_amps=(0.22, 0.30, 0.26, 0.16), tilt=0.45,
+                         vibrato_rate=6.2, vibrato_depth=0.016),
 }
 
 N_TRAIN_TEXTS = 28
@@ -117,7 +126,7 @@ def render_features(text: str, voice: VoiceSpec, seed: int):
     assert durations.min() > 0
 
     phone_pitch = np.array(
-        [char_f0(b[0]) * voice.f0_scale for b in bounds], np.float32)
+        [char_f0_voice(b[0], voice) for b in bounds], np.float32)
     phone_energy = phoneme_level_average(energy, durations).astype(np.float32)
     return {"wav": wav, "mel": mel.T.astype(np.float32),
             "energy": energy, "durations": durations.astype(np.int64),
@@ -214,7 +223,8 @@ def phase_train(work: str, accelerator: str, epochs: int, batch_size: int):
            "--out-folder", os.path.join(work, "model"),
            "--accelerator", accelerator, "--devices", "1",
            "--batch-size", str(batch_size), "--max-epochs", str(epochs),
-           "--warmup-epochs", "5", "--num_workers", "1"]
+           "--warmup-epochs", "5", "--num_workers", "1",
+           "--checkpoint-every-n-epochs", str(max(1, epochs // 20))]
     print("+", " ".join(cmd), flush=True)
     log = os.path.join(work, "train.log")
     with open(log, "w") as f:
@@ -262,7 +272,15 @@ def phase_eval(work: str, accelerator: str) -> dict:
         eval_texts = json.load(f)["eval"]
 
     def ref_mel_of(path):
+        # trim edge silence like the serving path does (ZeroVoxTTS.
+        # speaker_embed: librosa-style trim top_db=40) — training ref crops
+        # are speech-only mel slices, so untrimmed silence would wash out
+        # the embedding
         wav, _ = load_wav(path, target_sr=SR)
+        amp = np.abs(wav)
+        thr = amp.max() * 10 ** (-40 / 20)
+        nz = np.flatnonzero(amp > thr)
+        wav = wav[nz[0]: nz[-1] + 1]
         mel, _ = get_mel_from_wav(audio=wav, sampling_rate=SR, fft_size=1024,
                                   hop_size=HOP, win_length=1024, num_mels=80,
                                   fmin=0, fmax=8000)

@@ -282,6 +282,22 @@ class TestTrainer:
             np.testing.assert_allclose(np.asarray(a), np.asarray(c),
                                        rtol=1e-5, atol=1e-7)
 
+    def test_checkpoint_every_n_epochs(self, datamodule, tmp_path):
+        """checkpoint_every_n_epochs gates per-epoch saves (and the bulk
+        param device_get each save costs); the last epoch always saves."""
+        cfg = tiny_cfg()
+        mesh = make_mesh(MeshConfig(data=8), devices=jax.devices()[:8])
+        tcfg = TrainerConfig(max_epochs=5, batch_size=8,
+                             out_folder=str(tmp_path / "m"), seed=0,
+                             checkpoint_every_n_epochs=3)
+        trainer = Trainer(cfg, tcfg, steps_per_epoch=1, mesh=mesh)
+        batch = device_batch(next(iter(datamodule.train_dataloader())))
+        state = trainer.init_state(batch)
+        trainer.fit(lambda: iter([batch]), state)
+        ckpts = sorted(f for f in os.listdir(tmp_path / "m" / "checkpoints")
+                       if f.endswith(".msgpack"))
+        assert ckpts == ["0002.msgpack", "0004.msgpack"]
+
     def test_orbax_keep_checkpoints_prunes(self, datamodule, tmp_path):
         """keep_checkpoints applies to the orbax format too (max_to_keep)."""
         cfg = tiny_cfg()

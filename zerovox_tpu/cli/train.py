@@ -50,6 +50,9 @@ def get_args(argv=None):
                              "(implies --checkpoint-format orbax)")
     parser.add_argument("--keep-checkpoints", type=int, default=0,
                         help="prune to the newest N checkpoints (0 = keep all)")
+    parser.add_argument("--checkpoint-every-n-epochs", type=int, default=1,
+                        help="save a checkpoint every N epochs (last epoch "
+                             "always saved); raise for many-epoch runs")
     parser.add_argument("--verbose", action="store_true")
     parser.add_argument("--train-decoder-only", action="store_true")
     parser.add_argument("--remat", action="store_true",
@@ -193,6 +196,7 @@ def main(argv=None):
         precision="bf16-mixed" if "16" in str(args.precision) else "32",
         checkpoint_format="orbax" if args.resume else args.checkpoint_format,
         keep_checkpoints=args.keep_checkpoints,
+        checkpoint_every_n_epochs=args.checkpoint_every_n_epochs,
     )
     trainer = Trainer(cfg, tcfg, steps_per_epoch=datamodule.steps_per_epoch(), mesh=mesh)
 

@@ -141,6 +141,11 @@ class TrainerConfig:
     # one batched device_get at epoch end
     log_every_n_steps: int = 50
     keep_checkpoints: int = 0  # 0 = keep all (reference save_top_k=max_epochs)
+    # checkpoint every N epochs (always incl. the last). Beyond IO, each save
+    # device_gets the full param tree; on tunneled backends those per-epoch
+    # bulk fetches dominate short-epoch runs and grow host RSS, so long
+    # many-epoch jobs should raise this.
+    checkpoint_every_n_epochs: int = 1
     train_decoder_only: bool = False
     precision: str = "32"  # "32" | "bf16-mixed"
     checkpoint_format: str = "msgpack"  # "msgpack" | "orbax" (sharded TrainState)
@@ -373,6 +378,9 @@ class Trainer:
             print(f"epoch {epoch}: loss={avg['loss']:.4f} mel={avg['mel_loss']:.4f} "
                   f"({time.time() - t0:.1f}s)")
 
+            every = max(1, self.tcfg.checkpoint_every_n_epochs)
+            if epoch % every != every - 1 and epoch != self.tcfg.max_epochs - 1:
+                return
             if self.tcfg.checkpoint_format == "orbax":
                 from zerovox_tpu.training.checkpointing import save_orbax
 

@@ -48,9 +48,30 @@ class VoiceSpec:
     tilt: float = 0.0
     vibrato_rate: float = 5.0
     vibrato_depth: float = 0.01
+    # optional (base_hz, octaves) exponential content ladder replacing the
+    # historical linear 115 Hz ladder. A NARROW content ladder with WIDE
+    # per-voice f0_scale registers mirrors real speech statistics (prosody
+    # ~0.5 octave within a speaker, register ~1 octave across speakers) —
+    # with the linear ladder, content spans 4.4 octaves and voice identity
+    # only +-0.35, so log-min-max pitch normalization + variance-bin
+    # quantization (training/data.py) nearly erases the voice signal.
+    ladder: tuple | None = None
 
 
 DEFAULT_VOICE = VoiceSpec()
+
+
+def char_f0_voice(c: str, voice: "VoiceSpec") -> float:
+    """Fundamental of character `c` in `voice` (ladder x register)."""
+    idx = ALPHABET.find(c)
+    if idx < 0:
+        idx = len(ALPHABET)
+    if voice.ladder is not None:
+        base, octaves = voice.ladder
+        f = base * 2.0 ** (octaves * idx / max(len(ALPHABET) - 1, 1))
+    else:
+        f = char_f0(c)
+    return f * voice.f0_scale
 
 
 def char_f0(c: str) -> float:
@@ -104,7 +125,7 @@ def render_text_with_boundaries(
             dur = char_duration(c, char_dur)
             n = int(dur * sample_rate)
             t = np.arange(n) / sample_rate
-            f0 = char_f0(c) * v.f0_scale
+            f0 = char_f0_voice(c, v)
             vib = 1.0 + v.vibrato_depth * np.sin(2 * np.pi * v.vibrato_rate * t)
             phase = 2 * np.pi * f0 * vib * t
             seg = np.zeros(n, np.float64)
