@@ -13,6 +13,8 @@ buckets), the length regulator is a vectorized gather
 
 from __future__ import annotations
 
+import os
+
 import flax.linen as nn
 import jax
 import jax.numpy as jnp
@@ -23,10 +25,36 @@ from zerovox_tpu.models.layers import SCLN, Conv1d, LayerNorm, get_sinusoid_enco
 from zerovox_tpu.ops.length_regulator import length_regulate
 
 
+def _flash_eligible(seq_len: int) -> bool:
+    """Use the Pallas flash-attention kernel on TPU for long sequences.
+
+    The einsum path materializes the [B, h, L, L] f32 score tensor in HBM
+    and runs its softmax on the VPU — at the training decoder's L=768
+    bucket that tensor (and its gradient) dominates attention HBM traffic.
+    The flash kernel streams K/V blocks through VMEM with an online
+    softmax (one HBM pass, fused fwd+bwd). Kernel wants L % 128 == 0
+    (satisfied by every training MEL_BUCKET >= 128; the serving 689-frame
+    high-water bucket and short phoneme buckets keep the einsum path).
+    ZEROVOX_ATTN=einsum|flash|auto overrides.
+    """
+    spec = os.environ.get("ZEROVOX_ATTN", "auto")
+    if spec == "einsum":
+        return False
+    ok = seq_len % 128 == 0 and seq_len >= 256
+    if spec == "flash":
+        return ok
+    import jax as _jax
+
+    return ok and _jax.default_backend() == "tpu"
+
+
 class MultiHeadAttention(nn.Module):
     """Self-attention with optional SCLN conditioning
     (reference fs2.py:108-164). Softmax masking uses -inf like the reference's
-    masked_fill; padded query rows stay finite because valid keys remain."""
+    masked_fill; padded query rows stay finite because valid keys remain.
+    Long aligned sequences on TPU take the Pallas flash-attention kernel
+    (_flash_eligible); both paths produce identical valid-position outputs
+    (padded rows are zeroed by the caller)."""
 
     n_head: int
     d_model: int
@@ -36,7 +64,8 @@ class MultiHeadAttention(nn.Module):
     dropout: float = 0.1
 
     @nn.compact
-    def __call__(self, x, spk_emb, attn_mask, deterministic: bool = True):
+    def __call__(self, x, spk_emb, attn_mask, deterministic: bool = True,
+                 pad_mask=None):
         B, L, _ = x.shape
         residual = x
 
@@ -48,18 +77,44 @@ class MultiHeadAttention(nn.Module):
         k = k.reshape(B, L, self.n_head, self.d_k)
         v = v.reshape(B, L, self.n_head, self.d_v)
 
-        # [B, h, Lq, Lk]; scores + softmax in f32 (torch-autocast semantics
-        # — bf16 softmax is numerically fragile), weights cast back so mixed
-        # precision keeps the matmuls in bf16. NB: np.sqrt returns a
-        # strong-typed f32 scalar that would silently upcast everything.
+        # NB: np.sqrt returns a strong-typed f32 scalar that would silently
+        # upcast everything.
         scale = 1.0 / float(np.sqrt(self.d_k))
-        attn = jnp.einsum("bqhd,bkhd->bhqk", q, k,
-                          preferred_element_type=jnp.float32) * scale
-        if attn_mask is not None:
-            attn = jnp.where(attn_mask[:, None, :, :], -jnp.inf, attn)
-        attn = jax.nn.softmax(attn, axis=-1).astype(x.dtype)
 
-        out = jnp.einsum("bhqk,bkhd->bqhd", attn, v).reshape(B, L, self.n_head * self.d_v)
+        if (self.d_k == self.d_v and pad_mask is not None
+                and _flash_eligible(L)):
+            from jax.experimental.pallas.ops.tpu.flash_attention import (
+                SegmentIds, flash_attention)
+
+            # pad tokens get their own segment: valid queries never see
+            # them; pad queries attend pads only (rows zeroed by caller)
+            seg = pad_mask.astype(jnp.int32)
+            segs = SegmentIds(q=seg, kv=seg)
+            qh = q.transpose(0, 2, 1, 3)
+            kh = k.transpose(0, 2, 1, 3)
+            vh = v.transpose(0, 2, 1, 3)
+            if self.d_k > 128 and self.d_k % 128:
+                # kernel wants head_dim % 128 == 0 when > 128; zero-pad
+                # (free — the MXU pads lanes to 128 either way). Zero q/k
+                # lanes don't change scores; zero v lanes are sliced off.
+                pd = (-self.d_k) % 128
+                qh, kh, vh = (jnp.pad(t, ((0, 0),) * 3 + ((0, pd),))
+                              for t in (qh, kh, vh))
+            o = flash_attention(qh, kh, vh, segment_ids=segs, sm_scale=scale)
+            o = o[..., : self.d_v]
+            out = o.transpose(0, 2, 1, 3).reshape(B, L, self.n_head * self.d_v)
+            out = out.astype(x.dtype)
+        else:
+            # [B, h, Lq, Lk]; scores + softmax in f32 (torch-autocast
+            # semantics — bf16 softmax is numerically fragile), weights cast
+            # back so mixed precision keeps the matmuls in bf16.
+            attn = jnp.einsum("bqhd,bkhd->bhqk", q, k,
+                              preferred_element_type=jnp.float32) * scale
+            if attn_mask is not None:
+                attn = jnp.where(attn_mask[:, None, :, :], -jnp.inf, attn)
+            attn = jax.nn.softmax(attn, axis=-1).astype(x.dtype)
+            out = jnp.einsum("bhqk,bkhd->bqhd", attn,
+                             v).reshape(B, L, self.n_head * self.d_v)
         out = nn.Dense(self.d_model, name="fc")(out)
         out = nn.Dropout(self.dropout, deterministic=deterministic)(out)
 
@@ -112,7 +167,7 @@ class FFTBlock(nn.Module):
         out = MultiHeadAttention(
             self.n_head, self.d_model, self.d_k, self.d_v, scln=self.scln,
             dropout=self.dropout, name="slf_attn",
-        )(x, spk_emb, attn_mask, deterministic)
+        )(x, spk_emb, attn_mask, deterministic, pad_mask=pad_mask)
         out = jnp.where(pad_mask[..., None], 0.0, out)
 
         out = PositionwiseFeedForward(

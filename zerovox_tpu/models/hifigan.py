@@ -186,8 +186,49 @@ class Generator(nn.Module):
         mrf_fusable = (cfg.resblock == "1" and num_kernels > 1
                        and all(tuple(d) == dil0 for d in cfg.resblock_dilation_sizes))
 
+        import os
+
+        packed_enabled = os.environ.get("ZEROVOX_PACKED", "auto") != "0"
+
         for i, (u, k) in enumerate(zip(cfg.upsample_rates, cfg.upsample_kernel_sizes)):
+            in_ch = x.shape[-1]
             ch = cfg.upsample_initial_channel // (2 ** (i + 1))
+
+            # narrow stages (C_out <= 64): the whole stage — leaky_relu,
+            # ConvTranspose upsample, MRF mean — runs as ONE lane-packed
+            # Pallas kernel at full MXU tile utilization
+            # (ops/pallas/packed.py; VERDICT r2 weak #2/#3). Needs the
+            # packing arithmetic to close: 128 % C_in == 0 and
+            # stride * (128/C_in) * C_out == 128.
+            # measured 2.0-3.8x vs XLA at batch 1 AND 4 on v5e
+            # (docs/PERFORMANCE.md packed table), so unlike the MRF
+            # fallback below it is on for every batch size
+            packed_ok = (self.use_pallas and packed_enabled and mrf_fusable
+                         and ch <= 64 and 128 % in_ch == 0
+                         and u * (128 // in_ch) * ch == 128)
+            if packed_ok:
+                from zerovox_tpu.ops.pallas.packed import fused_packed_stage
+
+                up_w, up_b = ConvTranspose1d(ch, k, stride=u, padding=(k - u) // 2,
+                                             name=f"ups_{i}")(x, return_params=True)
+                towers = []
+                for j, ks in enumerate(cfg.resblock_kernel_sizes):
+                    (w1, b1), (w2, b2) = ResBlock1(
+                        ch, ks, dil0, name=f"resblocks_{i * num_kernels + j}",
+                    )(x, return_params=True)
+                    towers.append((w1, b1, w2, b2))
+                if i == len(cfg.upsample_rates) - 1:
+                    # last stage: fold leaky(0.01) + conv_post + tanh into
+                    # the kernel too — the whole back half of the generator
+                    # becomes one HBM read + one waveform write
+                    pw, pb = _ConvParams(7, ch, 1, name="conv_post")()
+                    return fused_packed_stage(
+                        x, up_w, up_b, u, (k - u) // 2, towers, dil0,
+                        tuple(cfg.resblock_kernel_sizes), post=(pw, pb))
+                x = fused_packed_stage(x, up_w, up_b, u, (k - u) // 2, towers,
+                                       dil0, tuple(cfg.resblock_kernel_sizes))
+                continue
+
             x = leaky_relu(x, LRELU_SLOPE)
             x = ConvTranspose1d(ch, k, stride=u, padding=(k - u) // 2, name=f"ups_{i}")(x)
             # batch>1 measured at XLA parity on v5e (docs/PERFORMANCE.md

@@ -226,16 +226,21 @@ class ConvTranspose1d(nn.Module):
     use_bias: bool = True
 
     @nn.compact
-    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+    def __call__(self, x: jnp.ndarray, return_params: bool = False):
         in_ch = x.shape[-1]
         kernel = self.param(
             "kernel",
             nn.initializers.lecun_normal(),
             (self.kernel_size, in_ch, self.features),
         )
+        bias = (self.param("bias", nn.initializers.zeros, (self.features,))
+                if self.use_bias else jnp.zeros((self.features,), kernel.dtype))
+        if return_params:
+            # raw (kernel, bias) for the fused packed-stage vocoder kernel
+            # (ops/pallas/packed.py) — same param tree, no compute here
+            return kernel, bias
         y = conv_transpose1d_subpixel(x, kernel, self.stride, self.padding)
         if self.use_bias:
-            bias = self.param("bias", nn.initializers.zeros, (self.features,))
             y = y + bias
         return y
 

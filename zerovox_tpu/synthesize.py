@@ -377,16 +377,41 @@ class ZeroVoxTTS:
             mask[i, : len(p)] = False
 
         enc = self._jit_encode(self._variables, phonemes, puncts, mask, spkembs)
-        mel_lens = np.asarray(jnp.sum(enc["duration_rounded"], axis=1))
-        T = pick_bucket(int(max(mel_lens.max(), 1)), MEL_BUCKETS)
 
-        mel, mel_len_dev, _ = self._jit_decode(
-            self._variables, enc["x"], enc["duration_rounded"], spkembs, T)
+        # speculative bucket from the max phone count (same latency trick as
+        # the single-utterance path, synthesize.py:_synthesize): decode +
+        # vocode dispatch immediately and the per-row duration fetch overlaps
+        # their device time; masked decode is exact for any bucket >= mel_len
+        spec_len = self._SPEC_FRAMES_PER_PHONE * max_n + 16
+        T_spec = pick_bucket(min(max(spec_len, 1), self.cfg.model.max_mel_len),
+                             MEL_BUCKETS)
+        mel, _, _ = self._jit_decode(
+            self._variables, enc["x"], enc["duration_rounded"], spkembs, T_spec)
         wav_dev = self._jit_vocode(self._meldec_variables, mel)
+
+        def fetch_buffer(w):
+            buf = self._jit_wav_i16(w) if self._wire_i16 else w
+            try:
+                buf.copy_to_host_async()
+            except Exception:
+                pass
+            return buf
+
+        wav_buf = fetch_buffer(wav_dev)
+        mel_lens = np.asarray(jnp.sum(enc["duration_rounded"], axis=1))  # overlapped
+
+        if int(mel_lens.max()) > T_spec:
+            # under-speculation (rare): redo at the exact bucket
+            T = pick_bucket(min(int(mel_lens.max()), self.cfg.model.max_mel_len),
+                            MEL_BUCKETS)
+            mel, _, _ = self._jit_decode(
+                self._variables, enc["x"], enc["duration_rounded"], spkembs, T)
+            wav_buf = fetch_buffer(self._jit_vocode(self._meldec_variables, mel))
+
         if self._wire_i16:
-            wav = np.asarray(self._jit_wav_i16(wav_dev)).astype(np.float32) / 32760.0
+            wav = np.asarray(wav_buf).astype(np.float32) / 32760.0
         else:
-            wav = np.asarray(wav_dev)
+            wav = np.asarray(wav_buf)
 
         out = []
         for i in range(B):
