@@ -12,8 +12,11 @@ replaced by spaces and whitespace collapsed (the alignment-target string).
 The reference delegates verbalization to NeMo's WFST normalizer; when
 `nemo_text_processing` is importable we do the same, otherwise a rule-based
 normalizer is used covering cardinals, ordinals, decimals, dates (name,
-numeric and ISO formats), roman numerals, fractions, numeric ranges,
-currency, percent, time (with seconds and am/pm), units, years and common
+numeric, ISO and day-first formats), roman numerals, fractions, numeric
+ranges, currency (incl. million/billion/k magnitudes), percent, time (with
+seconds and am/pm), units, years, phone numbers (digit-by-digit with group
+pauses), street addresses (paired house numbers, suffix disambiguation
+'Main St.' vs 'St. James'), consonant-only acronym spelling and common
 abbreviations for en/de (behavior battery mirrors reference
 utils/nemo_test.py:14-68; tests/test_text.py).
 """
@@ -66,6 +69,16 @@ _UNITS = {
            "cm": ("zentimeter", "zentimeter"), "mm": ("millimeter", "millimeter"),
            "ml": ("milliliter", "milliliter"), "kb": ("kilobyte", "kilobyte"),
            "mb": ("megabyte", "megabyte"), "gb": ("gigabyte", "gigabyte")},
+}
+
+# common vowel-containing initialisms that read letter-by-letter (the
+# consonant-only rule in _acronyms catches TV/PC/HTML/... automatically)
+_SPELL_ACRONYMS = {
+    "FBI", "CIA", "IBM", "USA", "EU", "UN", "UK", "US", "CEO", "CFO", "CTO",
+    "CPU", "GPU", "API", "URL", "USB", "ATM", "GPS", "PDF", "SQL", "DNA",
+    "RNA", "HIV", "IRS", "FDA", "EPA", "NBA", "NFL", "NHL", "UCLA", "MIT",
+    "UFO", "VIP", "DIY", "FAQ", "ID", "IP", "AI", "OS", "UI",
+    "ISBN", "IQ", "ICU", "EKG", "EDV", "IOC",
 }
 
 _ROMAN_VALUES = {"I": 1, "V": 5, "X": 10, "L": 50, "C": 100, "D": 500, "M": 1000}
@@ -124,7 +137,140 @@ class _RuleBasedVerbalizer:
         months = _MONTHS_DE if self.lang == "de" else _MONTHS_EN
         return months[m - 1] if 1 <= m <= 12 else str(m)
 
+    def _digits(self, s: str) -> str:
+        """Read a digit string digit-by-digit (phone numbers, NeMo
+        telephone-grammar equivalent)."""
+        zero = "null" if self.lang == "de" else "zero"
+        return " ".join(zero if c == "0" else self.num.number_to_words(int(c))
+                        for c in s if c.isdigit())
+
     # -- rule groups ----------------------------------------------------------
+
+    def _phones(self, text: str) -> str:
+        """Phone numbers -> digit-by-digit with per-group pauses
+        (NeMo telephone WFST equivalent): (555) 123-4567, 555-123-4567,
+        +1-800-555-0199, 555-0199; German 030/12345678, 0171 2345678."""
+        def groups(*gs):
+            return ", ".join(self._digits(g) for g in gs if g)
+
+        # international prefix + grouped number
+        text = re.sub(
+            r"\+(\d{1,3})[-.\s]\(?(\d{2,4})\)?[-.\s](\d{3,4})[-.\s](\d{3,4})\b",
+            lambda m: f"plus {self._digits(m.group(1))}, "
+                      + groups(m.group(2), m.group(3), m.group(4)),
+            text)
+        if self.lang == "de":
+            # area code / subscriber: 030/12345678, 0171 2345678
+            text = re.sub(
+                r"\b(0\d{2,4})[\s/](\d{5,8})\b",
+                lambda m: groups(m.group(1), m.group(2)), text)
+        # US 10-digit: (555) 123-4567 / 555-123-4567 / 555.123.4567
+        text = re.sub(
+            r"\(?\b(\d{3})\)?[-.\s](\d{3})[-.](\d{4})\b",
+            lambda m: groups(m.group(1), m.group(2), m.group(3)), text)
+        # US 7-digit: 555-0199 (after dates so ranges like 1939-1945 survive
+        # via the year guard; a 3-4 digit split reads as a phone, not a range)
+        text = re.sub(
+            r"\b(\d{3})[-.](\d{4})\b",
+            lambda m: groups(m.group(1), m.group(2)), text)
+        return text
+
+    def _addresses(self, text: str) -> str:
+        """US street addresses: the house number reads in pairs ('123 Main
+        St.' -> 'one twenty three main street') and the suffix expands when
+        it FOLLOWS the street name — 'St./Dr.' before a capitalized word
+        stay saint/doctor (handled by the abbreviation pass)."""
+        if self.lang != "en":
+            return text
+        suffixes = {"st": "street", "ave": "avenue", "rd": "road",
+                    "blvd": "boulevard", "dr": "drive", "ln": "lane",
+                    "ct": "court", "hwy": "highway"}
+        # written suffixes are title-cased ('Main St.'); keep the street
+        # name's [A-Z][a-z]+ case-sensitive, so no IGNORECASE here
+        suf_pat = "|".join(s.capitalize() for s in suffixes)
+
+        def house(m):
+            n = m.group(1)
+            return self._address_number(n) + " " + m.group(2)
+
+        def suffix(m):
+            return m.group(1) + " " + suffixes[m.group(2).lower()]
+
+        # expand the suffix first: '<Name> St.' at end / before punct /
+        # before a lowercase word is a street, not a saint
+        text = re.sub(
+            rf"\b([A-Z][a-z]+)\s+({suf_pat})\.?(?=$|[,;:!?]|\s+[a-z0-9])",
+            suffix, text)
+        # pair-read the house number before '<Name> street|avenue|...'
+        full = "|".join(suffixes.values())
+        text = re.sub(
+            rf"\b(\d{{2,4}})\s+([A-Z][a-z]+\s+(?:{full})\b)", house, text)
+        return text
+
+    def _address_number(self, s: str) -> str:
+        """House/address numbers read in pairs like NeMo: 123 -> 'one
+        twenty three', 4675 -> 'forty six seventy five', 1200 -> 'twelve
+        hundred', 100 -> 'one hundred'."""
+        n = int(s)
+        num = self.num
+        if len(s) == 3:
+            if s[1:] == "00":
+                return num.number_to_words(n)
+            return f"{num.number_to_words(int(s[0]))} {num.number_to_words(int(s[1:]))}"
+        if len(s) == 4:
+            if s[2:] == "00":
+                return f"{num.number_to_words(int(s[:2]))} hundred"
+            if s[1:3] == "00":
+                return num.number_to_words(n)
+            return f"{num.number_to_words(int(s[:2]))} {num.number_to_words(int(s[2:]))}"
+        return num.number_to_words(n)
+
+    def _acronyms(self, text: str) -> str:
+        """Spell initialisms letter-by-letter: consonant-only uppercase
+        tokens ('HTML' -> 'H T M L', 'TV') plus a curated list of common
+        vowel-containing initialisms ('FBI', 'CEO', 'USA'). Pronounceable
+        all-caps words ('NASA', shouting-caps 'STOP') pass through. Runs
+        after the roman-numeral rule so 'XIV' is already a number;
+        blocklisted roman collisions ('MM') do get spelled."""
+        def sub(m):
+            tok = m.group(0)
+            if tok in _SPELL_ACRONYMS or not any(v in tok for v in "AEIOUY"):
+                return " ".join(tok)
+            return tok
+
+        return re.sub(r"\b[A-Z]{2,5}\b", sub, text)
+
+    def _money_magnitude(self, text: str) -> str:
+        """'$3.5 million' / '$5M' / '€10k' -> 'three point five million
+        dollars' (NeMo money-magnitude grammar); runs before the plain
+        currency rule."""
+        num = self.num
+        if self.lang == "de":
+            mags = {"million": "millionen", "millionen": "millionen",
+                    "mio": "millionen", "mrd": "milliarden",
+                    "milliarde": "milliarden", "milliarden": "milliarden"}
+        else:
+            mags = {"million": "million", "billion": "billion",
+                    "trillion": "trillion", "m": "million", "bn": "billion",
+                    "k": "thousand"}
+        mag_pat = "|".join(mags)
+
+        def sub(m):
+            sym = m.group("sym")
+            amt = m.group("amt")
+            mag = mags[m.group("mag").lower()]
+            names = _CURRENCY[self.lang][sym]
+            if "." in amt or "," in amt:
+                whole, frac = re.split("[.,]", amt)
+                amount = num.decimal_to_words(whole, frac)
+            else:
+                amount = num.number_to_words(int(amt))
+            return f"{amount} {mag} {names[1]}"
+
+        dec = "," if self.lang == "de" else r"\."
+        return re.sub(
+            rf"(?P<sym>[$€£])\s?(?P<amt>\d+(?:{dec}\d+)?)\s?(?P<mag>{mag_pat})\b",
+            sub, text, flags=re.IGNORECASE)
 
     def _dates(self, text: str) -> str:
         """Name, numeric and ISO date formats (reference NeMo battery:
@@ -176,6 +322,19 @@ class _RuleBasedVerbalizer:
             text = re.sub(
                 rf"\b({months})\.?\s+(\d{{1,2}})(?:st|nd|rd|th)?\s*,?\s*(\d{{4}})?\b",
                 en_name, text, flags=re.IGNORECASE)
+
+            # day-first: '23rd of May', 'the 3rd of May, 2021'
+            def en_dayfirst(m):
+                mon = m.group(2).lower().rstrip(".")
+                mon = _MONTH_ABBR_EN.get(mon, mon)
+                out = f"{self._day_word(int(m.group(1)))} of {mon}"
+                if m.group(3):
+                    out += " " + self._maybe_year(m.group(3))
+                return out
+
+            text = re.sub(
+                rf"\b(\d{{1,2}})(?:st|nd|rd|th)?\s+of\s+({months})\.?\s*,?\s*(\d{{4}})?\b",
+                en_dayfirst, text, flags=re.IGNORECASE)
             # M/D/YYYY
             text = re.sub(
                 r"\b(\d{1,2})/(\d{1,2})/(\d{4})\b",
@@ -298,6 +457,10 @@ class _RuleBasedVerbalizer:
         lang = self.lang
         num = self.num
 
+        # street addresses BEFORE the abbreviation pass — '<Name> St.' must
+        # become 'street' before the abbrev table reads 'St.' as 'saint'
+        text = self._addresses(text)
+
         # common abbreviations (dot-terminated or bare word, case-insensitive)
         def abbrev_sub(m):
             key = m.group(1).lower()
@@ -307,8 +470,14 @@ class _RuleBasedVerbalizer:
         abbrev_keys = "|".join(re.escape(k) for k in _ABBREV[lang])
         text = re.sub(rf"\b({abbrev_keys})\.(?=\s|$)", lambda m: abbrev_sub(m), text, flags=re.IGNORECASE)
 
-        # dates before everything numeric (they contain '/', '.', '-')
+        # dates before everything numeric (they contain '/', '.', '-');
+        # phones after dates (ISO dates contain '-') but before ranges
+        # (a 3-4 digit split like 555-0199 reads as a phone, not a range)
         text = self._dates(text)
+        text = self._phones(text)
+
+        # money magnitudes ($3.5 million / €10k) before plain currency
+        text = self._money_magnitude(text)
 
         # currency: $12.50 / 12,50 € / €5
         def currency_sub(m):
@@ -341,6 +510,8 @@ class _RuleBasedVerbalizer:
         text = self._fractions(text)
         text = self._ranges(text)
         text = self._units(text)
+        # acronym spelling AFTER units — '5 GB' must stay gigabytes
+        text = self._acronyms(text)
 
         # ordinals: English 1st/2nd/..., German "3." before a word (German
         # nouns are capitalized — "1. Übersicht", "2. Platz" — so any letter
