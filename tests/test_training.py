@@ -145,6 +145,39 @@ class TestTrainer:
         assert lossN["loss"] < losses0["loss"]  # learning happens
         assert int(state2.step) == 5
 
+    def test_punct_fold_train_step(self, datamodule):
+        """punct_emb_dim: 0 folds punctuation additively into the phone
+        embedding so d_model == emb_dim (MXU lane alignment for new
+        trainings, configs/tts_medium_tpu.yaml); the full SPMD train step
+        must run and learn with the folded layout."""
+        cfg = tiny_cfg()
+        mcfg = dict(cfg.model.__dict__)
+        mcfg["punct_emb_dim"] = 0
+        cfg = ZeroVoxConfig(audio=cfg.audio, model=ModelConfig(**mcfg),
+                            training=cfg.training, stats=cfg.stats,
+                            langs=cfg.langs)
+        assert cfg.model.emb_size == cfg.model.emb_dim
+
+        mesh = make_mesh(MeshConfig(data=8), devices=jax.devices()[:8])
+        tcfg = TrainerConfig(max_epochs=1, warmup_epochs=1, batch_size=8,
+                             out_folder="/tmp/zvx_test_fold", seed=0)
+        trainer = Trainer(cfg, tcfg, steps_per_epoch=1, mesh=mesh)
+        batch = device_batch(next(iter(datamodule.train_dataloader())))
+        state = trainer.init_state(batch)
+        # folded layout: punct table rows are emb_dim wide
+        ptab = state.params["phoneme_encoder"]["encoder"]["punct_embed"]["embedding"]
+        assert ptab.shape[-1] == cfg.model.emb_dim
+
+        from zerovox_tpu.parallel.mesh import shard_batch
+
+        sb = shard_batch(batch, mesh)
+        rng = jax.random.PRNGKey(0)
+        state2, l0 = trainer._train_step(state, sb, rng)
+        for _ in range(4):
+            state2, lN = trainer._train_step(state2, sb, rng)
+        assert np.isfinite(float(l0["loss"]))
+        assert float(lN["loss"]) < float(l0["loss"])
+
     def test_decoder_only_freezes_encoder(self, datamodule):
         cfg = tiny_cfg()
         mesh = make_mesh(MeshConfig(data=8), devices=jax.devices()[:8])

@@ -215,9 +215,18 @@ class Encoder(nn.Module):
         emb = nn.Embed(self.num_phones + 1, self.embed_dim, name="src_word_emb")(phonemes)
         # torch padding_idx=0: row 0 frozen at zero
         emb = jnp.where((phonemes == 0)[..., None], 0.0, emb)
-        pemb = nn.Embed(self.num_puncts + 1, self.punct_embed_dim, name="punct_embed")(puncts)
-        pemb = jnp.where((puncts == 0)[..., None], 0.0, pemb)
-        x = jnp.concatenate([emb, pemb], axis=-1)
+        if self.punct_embed_dim > 0:
+            pemb = nn.Embed(self.num_puncts + 1, self.punct_embed_dim, name="punct_embed")(puncts)
+            pemb = jnp.where((puncts == 0)[..., None], 0.0, pemb)
+            x = jnp.concatenate([emb, pemb], axis=-1)
+        else:
+            # punct_emb_dim: 0 — fold punctuation ADDITIVELY into the phone
+            # embedding so d_model == embed_dim stays a multiple of the
+            # 128-lane MXU width (512 vs the concat path's 528, which pads
+            # every matmul to 640 = 17.5% wasted tiles). New-training
+            # option; reference-config checkpoints keep the concat layout.
+            pemb = nn.Embed(self.num_puncts + 1, self.embed_dim, name="punct_embed")(puncts)
+            x = emb + jnp.where((puncts == 0)[..., None], 0.0, pemb)
 
         # cast to x's dtype: an f32 table would silently upcast every
         # downstream FFT block out of bf16 in mixed-precision mode
