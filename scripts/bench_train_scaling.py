@@ -113,6 +113,10 @@ def main():
     ap.add_argument("--mel-len", type=int, default=689)
     ap.add_argument("--remat", action="store_true",
                     help="rematerialize FFT blocks (fits larger batches)")
+    ap.add_argument("--config", default=None,
+                    help="modelcfg yaml (default: built-in tts_medium); use "
+                         "configs/tts_medium_tpu.yaml for the lane-aligned "
+                         "punct-fold variant")
     ap.add_argument("--out-json", default=None)
     args = ap.parse_args()
 
@@ -125,7 +129,13 @@ def main():
     from zerovox_tpu.config import ZeroVoxConfig
     from zerovox_tpu.parallel.mesh import MeshConfig, make_mesh
 
-    cfg = ZeroVoxConfig()  # tts_medium
+    if args.config:
+        import yaml
+
+        with open(args.config) as f:
+            cfg = ZeroVoxConfig.from_dict(yaml.safe_load(f))
+    else:
+        cfg = ZeroVoxConfig()  # tts_medium
     if args.remat:
         import dataclasses
 
