@@ -84,7 +84,7 @@ class MultiHeadAttention(nn.Module):
         if (self.d_k == self.d_v and pad_mask is not None
                 and _flash_eligible(L)):
             from jax.experimental.pallas.ops.tpu.flash_attention import (
-                SegmentIds, flash_attention)
+                BlockSizes, SegmentIds, flash_attention)
 
             # pad tokens get their own segment: valid queries never see
             # them; pad queries attend pads only (rows zeroed by caller)
@@ -100,7 +100,19 @@ class MultiHeadAttention(nn.Module):
                 pd = (-self.d_k) % 128
                 qh, kh, vh = (jnp.pad(t, ((0, 0),) * 3 + ((0, pd),))
                               for t in (qh, kh, vh))
-            o = flash_attention(qh, kh, vh, segment_ids=segs, sm_scale=scale)
+            # explicit block sizes are LOAD-BEARING: the kernel's default
+            # sizing makes the dk/dv backward kernel hang at runtime on
+            # v5e (isolated on hardware: grad-q-only runs, full grads
+            # never return; 256/128 blocks run fine). Blocks must divide
+            # L, which is always a multiple of 128 here (_flash_eligible).
+            blk = 256 if L % 256 == 0 else 128
+            bs = BlockSizes(
+                block_q=blk, block_k_major=blk, block_k=blk, block_b=1,
+                block_q_major_dkv=blk, block_k_major_dkv=blk,
+                block_k_dkv=blk, block_q_dkv=blk,
+                block_k_major_dq=blk, block_k_dq=blk, block_q_dq=blk)
+            o = flash_attention(qh, kh, vh, segment_ids=segs, sm_scale=scale,
+                                block_sizes=bs)
             o = o[..., : self.d_v]
             out = o.transpose(0, 2, 1, 3).reshape(B, L, self.n_head * self.d_v)
             out = out.astype(x.dtype)
