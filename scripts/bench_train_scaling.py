@@ -113,6 +113,9 @@ def main():
     ap.add_argument("--mel-len", type=int, default=689)
     ap.add_argument("--remat", action="store_true",
                     help="rematerialize FFT blocks (fits larger batches)")
+    ap.add_argument("--remat-speaker", action="store_true",
+                    help="rematerialize speaker-encoder blocks (measured "
+                         "slower on v5e; memory lever only)")
     ap.add_argument("--config", default=None,
                     help="modelcfg yaml (default: built-in tts_medium); use "
                          "configs/tts_medium_tpu.yaml for the lane-aligned "
@@ -136,10 +139,15 @@ def main():
             cfg = ZeroVoxConfig.from_dict(yaml.safe_load(f))
     else:
         cfg = ZeroVoxConfig()  # tts_medium
-    if args.remat:
+    if args.remat or args.remat_speaker:
         import dataclasses
 
-        cfg = dataclasses.replace(cfg, model=dataclasses.replace(cfg.model, remat=True))
+        mcfg = cfg.model
+        if args.remat:
+            mcfg = dataclasses.replace(mcfg, remat=True)
+        if args.remat_speaker:
+            mcfg = dataclasses.replace(mcfg, remat_speaker=True)
+        cfg = dataclasses.replace(cfg, model=mcfg)
     mesh = make_mesh(MeshConfig(data=1), devices=jax.devices()[:1])
 
     rows = []

@@ -59,6 +59,11 @@ def get_args(argv=None):
                         help="rematerialize FFT blocks in backward: ~30%% "
                              "more FLOPs for O(layers) less activation HBM "
                              "(enables batch sizes that otherwise OOM)")
+    parser.add_argument("--remat-speaker", action="store_true",
+                        help="rematerialize speaker-encoder blocks in "
+                             "backward: measured ~7-9%% SLOWER on v5e but "
+                             "frees the stored stem activations (memory "
+                             "lever for very large batches; PERFORMANCE.md)")
     parser.add_argument("--max-epochs", type=int, default=40)
     parser.add_argument("--warmup-epochs", type=int, default=2)
     parser.add_argument("--batch-size", type=int, default=24,
@@ -161,10 +166,15 @@ def main(argv=None):
     modelcfg = merge_stats(modelcfg, corpora, base_path)
 
     cfg = ZeroVoxConfig.from_dict(modelcfg)
-    if args.remat:
+    if args.remat or args.remat_speaker:
         import dataclasses
 
-        cfg = dataclasses.replace(cfg, model=dataclasses.replace(cfg.model, remat=True))
+        mcfg = cfg.model
+        if args.remat:
+            mcfg = dataclasses.replace(mcfg, remat=True)
+        if args.remat_speaker:
+            mcfg = dataclasses.replace(mcfg, remat_speaker=True)
+        cfg = dataclasses.replace(cfg, model=mcfg)
     symbols = Symbols(modelcfg["model"]["phones"], modelcfg["model"]["puncts"])
 
     os.makedirs(args.out_folder, exist_ok=True)

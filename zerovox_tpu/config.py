@@ -75,6 +75,13 @@ class ModelConfig:
     # im2col FFN expansion otherwise OOMs large-batch training (B=64 at
     # mel bucket 689 exceeds 16 GB on v5e)
     remat: bool = False
+    # rematerialize speaker-encoder SE-ResNet blocks in backward. The
+    # roofline said the stack is bandwidth-bound (17% MFU, 139% of HBM at
+    # B=8) so recompute "should" beat reload — measured on a v5e it does
+    # NOT: +6.8% step time at B=8, +9.4% at B=64 (docs/PERFORMANCE.md
+    # round-3 roofline section). Off by default; remains available as a
+    # memory lever for batches whose stored stem activations OOM.
+    remat_speaker: bool = False
     encoder: EncoderConfig = field(default_factory=EncoderConfig)
     decoder: DecoderConfig = field(default_factory=DecoderConfig)
     resnet: ResNetConfig = field(default_factory=ResNetConfig)

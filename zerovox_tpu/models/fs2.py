@@ -26,26 +26,25 @@ from zerovox_tpu.ops.length_regulator import length_regulate
 
 
 def _flash_eligible(seq_len: int) -> bool:
-    """Use the Pallas flash-attention kernel on TPU for long sequences.
+    """Select the attention implementation (ZEROVOX_ATTN=einsum|flash|auto).
 
-    The einsum path materializes the [B, h, L, L] f32 score tensor in HBM
-    and runs its softmax on the VPU — at the training decoder's L=768
-    bucket that tensor (and its gradient) dominates attention HBM traffic.
-    The flash kernel streams K/V blocks through VMEM with an online
-    softmax (one HBM pass, fused fwd+bwd). Kernel wants L % 128 == 0
-    (satisfied by every training MEL_BUCKET >= 128; the serving 689-frame
-    high-water bucket and short phoneme buckets keep the einsum path).
-    ZEROVOX_ATTN=einsum|flash|auto overrides.
+    The Pallas flash kernel streams K/V blocks through VMEM with an online
+    softmax instead of materializing the [B, h, L, L] f32 score tensor in
+    HBM — the textbook win. Measured on a v5e (bf16-mixed train step,
+    tts_medium, B=8; docs/PERFORMANCE.md round-3 crossover table) it LOSES
+    to the einsum path at every training length: 32.7 vs 30.0 ms at L=768,
+    53.7 vs 48.2 at L=1536, 98.2 vs 90.5 at L=2560. Cause: d_k=d_v=48 pads
+    to a 128-lane minor dimension inside the kernel (2.7x wasted MXU work
+    per tap), while XLA fuses the einsum path's softmax into the score
+    matmul well enough that its extra HBM traffic stays under the roofline
+    at these sizes. "auto" therefore means einsum; flash remains an
+    explicit opt-in for head dims >= 128 or lengths beyond the measured
+    range. Kernel precondition: L % 128 == 0 and L >= 256.
     """
     spec = os.environ.get("ZEROVOX_ATTN", "auto")
-    if spec == "einsum":
+    if spec != "flash":
         return False
-    ok = seq_len % 128 == 0 and seq_len >= 256
-    if spec == "flash":
-        return ok
-    import jax as _jax
-
-    return ok and _jax.default_backend() == "tpu"
+    return seq_len % 128 == 0 and seq_len >= 256
 
 
 class MultiHeadAttention(nn.Module):

@@ -74,6 +74,13 @@ class ResNetSE34V2(nn.Module):
     encoder_type: str = "ASP"
     n_mels: int = 80
     log_input: bool = False
+    # nn.remat each SE-ResNet block: recompute activations in backward
+    # instead of storing the [B, C, 80, T]-scale stem tensors between fwd
+    # and bwd. Measured SLOWER on v5e (+7-9% step time — recompute costs
+    # more than reload even though the stack sits at the HBM roof; see
+    # docs/PERFORMANCE.md round-3 roofline), so this is a memory lever
+    # only. Param/batch_stats trees are unchanged either way.
+    remat: bool = False
 
     @nn.compact
     def __call__(self, x, l2_norm: bool = True, train: bool = False):
@@ -94,14 +101,15 @@ class ResNetSE34V2(nn.Module):
         x = jax.nn.relu(x)
         x = BatchNorm(self.num_filters[0], name="bn1")(x, use_running_average=not train)
 
+        block_cls = nn.remat(SEBasicBlock) if self.remat else SEBasicBlock
         inplanes = self.num_filters[0]
         for stage, (blocks, planes) in enumerate(zip(self.layers, self.num_filters)):
             stride = 1 if stage == 0 else 2
             for b in range(blocks):
                 s = stride if b == 0 else 1
                 down = b == 0 and (s != 1 or inplanes != planes)
-                x = SEBasicBlock(planes, stride=s, downsample=down, train=train,
-                                 name=f"layer{stage + 1}_{b}")(x)
+                x = block_cls(planes, stride=s, downsample=down, train=train,
+                              name=f"layer{stage + 1}_{b}")(x)
                 inplanes = planes
 
         # [B, H', W', C] -> flatten freq+channels per time step: [B, W', H'*C]

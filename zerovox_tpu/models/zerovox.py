@@ -42,6 +42,7 @@ class ZeroVox(nn.Module):
             encoder_type=m.resnet.encoder_type,
             n_mels=self.cfg.audio.num_mels,
             log_input=False,
+            remat=m.remat_speaker,
         )
         if m.decoder.kind == "fastspeech2":
             self.mel_decoder = FS2Decoder(
