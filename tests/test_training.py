@@ -362,6 +362,68 @@ class TestTrainer:
         assert os.path.isdir(tmp_path / "m" / "checkpoints" / "orbax" / "0")
 
 
+class TestOptimizer:
+    def test_mu_free_lowering_matches_adamw(self):
+        """make_optimizer's b1==0 mu-free lowering must produce the exact
+        optax.adamw(b1=0) trajectory — same clipping, bias correction, eps
+        placement, weight decay, and lr — while storing no first moment."""
+        import jax
+        import jax.numpy as jnp
+        import optax
+
+        from zerovox_tpu.training.optim import ScaleByNuState, make_optimizer
+
+        lr, wd, eps, clip = 1e-2, 1e-2, 1e-9, 1.0
+        tx_fast = make_optimizer(lr, weight_decay=wd, betas=(0.0, 0.99),
+                                 eps=eps, grad_clip=clip)
+        tx_ref = optax.chain(
+            optax.clip_by_global_norm(clip),
+            optax.adamw(learning_rate=lr, b1=0.0, b2=0.99, eps=eps,
+                        weight_decay=wd),
+        )
+
+        rng = np.random.default_rng(11)
+        params = {
+            "w": jnp.asarray(rng.normal(size=(8, 16)).astype(np.float32)),
+            "b": jnp.asarray(rng.normal(size=(16,)).astype(np.float32)),
+        }
+        p_fast, p_ref = params, params
+        s_fast, s_ref = tx_fast.init(p_fast), tx_ref.init(p_ref)
+
+        # no mu anywhere in the lowered state; params-sized leaves halve
+        def f32_bytes(tree):
+            return sum(x.size * 4 for x in jax.tree.leaves(tree)
+                       if hasattr(x, "size") and x.dtype == jnp.float32)
+        assert any(isinstance(s, ScaleByNuState)
+                   for s in jax.tree.leaves(s_fast, is_leaf=lambda x: isinstance(x, ScaleByNuState)))
+        assert f32_bytes(s_fast) * 2 <= f32_bytes(s_ref) + 8
+
+        for step in range(5):
+            grads = jax.tree.map(
+                lambda p: jnp.asarray(
+                    rng.normal(size=p.shape).astype(np.float32)) * (step + 1),
+                params)
+            u_fast, s_fast = tx_fast.update(grads, s_fast, p_fast)
+            u_ref, s_ref = tx_ref.update(grads, s_ref, p_ref)
+            p_fast = optax.apply_updates(p_fast, u_fast)
+            p_ref = optax.apply_updates(p_ref, u_ref)
+            for a, b in zip(jax.tree.leaves(p_fast), jax.tree.leaves(p_ref)):
+                np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                           rtol=0, atol=1e-7)
+
+    def test_nonzero_b1_keeps_full_adamw(self):
+        """betas[0] != 0 must route to the full optax.adamw path."""
+        from zerovox_tpu.training.optim import ScaleByNuState, make_optimizer
+        import jax
+        import jax.numpy as jnp
+
+        tx = make_optimizer(1e-3, betas=(0.9, 0.99))
+        state = tx.init({"w": jnp.ones((4,))})
+        assert not any(isinstance(s, ScaleByNuState)
+                       for s in jax.tree.leaves(
+                           state, is_leaf=lambda x: isinstance(x, ScaleByNuState)))
+
+
 class TestLossSemantics:
     def test_masked_loss_matches_reference_formula(self):
         """Verify loss vs a direct masked_select-style computation."""

@@ -6,11 +6,60 @@ AdamW with configurable betas/eps/weight-decay, global-norm gradient clipping
 epoch-granularity linear-warmup + cosine-decay schedule whose decay factor is
 floored at `min_lr` (0.1) — i.e. lr = base_lr * f(epoch) with
 f = (e+1)/warmup during warmup, then max(0.1, 0.5*(1+cos(pi*progress))).
+
+TPU note: the production configs all run betas=(0.0, 0.99). With b1=0 the
+bias-corrected first moment is exactly the incoming gradient, so storing
+`mu` is pure HBM traffic — the AdamW update is a bandwidth floor on the
+step (docs/PERFORMANCE.md round-3 roofline: 6.8 GB streamed at 0.1% MFU).
+`make_optimizer` therefore lowers the b1==0 case to a mu-free transform
+with identical math (same bias correction, eps placement, and update
+order as optax.adamw); the opt_state simply has no `mu` leaf tree.
+(Orbax TrainState checkpoints written by the old mu-full layout fail
+`--resume` with a clear structure-mismatch error — resave from msgpack
+weights or set betas[0] to a nonzero epsilon to keep the old layout.)
 """
 
 from __future__ import annotations
 
+from typing import NamedTuple
+
+import chex
+import jax
+import jax.numpy as jnp
 import optax
+
+
+class ScaleByNuState(NamedTuple):
+    """State for `_scale_by_adam_no_mu`: step count + second moment only."""
+
+    count: chex.Array  # int32 scalar
+    nu: optax.Updates
+
+
+def _scale_by_adam_no_mu(b2: float, eps: float) -> optax.GradientTransformation:
+    """optax.scale_by_adam(b1=0, ...) without materializing mu.
+
+    With b1=0, mu == g and the bias correction (1 - b1**t) == 1, so
+    update = g / (sqrt(nu / (1 - b2**t)) + eps) — identical to
+    optax.scale_by_adam's result, minus one params-sized read+write pair
+    per step (and params-sized bytes of optimizer HBM).
+    """
+
+    def init_fn(params):
+        nu = jax.tree.map(jnp.zeros_like, params)
+        return ScaleByNuState(count=jnp.zeros([], jnp.int32), nu=nu)
+
+    def update_fn(updates, state, params=None):
+        del params
+        count = optax.safe_increment(state.count)
+        nu = jax.tree.map(
+            lambda n, g: b2 * n + (1.0 - b2) * (g * g), state.nu, updates)
+        bc = 1.0 - b2 ** count.astype(jnp.float32)
+        updates = jax.tree.map(
+            lambda g, n: g / (jnp.sqrt(n / bc) + eps), updates, nu)
+        return updates, ScaleByNuState(count=count, nu=nu)
+
+    return optax.GradientTransformation(init_fn, update_fn)
 
 
 def warmup_cosine_epoch_schedule(
@@ -42,6 +91,15 @@ def make_optimizer(
     eps: float = 1e-9,
     grad_clip: float = 1.0,
 ) -> optax.GradientTransformation:
+    if betas[0] == 0.0:
+        # mu-free lowering (exact same math; see module docstring). Mirrors
+        # optax.adamw's transform order: scale_by_adam -> weight decay -> lr.
+        return optax.chain(
+            optax.clip_by_global_norm(grad_clip),
+            _scale_by_adam_no_mu(b2=betas[1], eps=eps),
+            optax.add_decayed_weights(weight_decay),
+            optax.scale_by_learning_rate(learning_rate),
+        )
     return optax.chain(
         optax.clip_by_global_norm(grad_clip),
         optax.adamw(
