@@ -31,6 +31,16 @@ def main():
     ap.add_argument("--batches", default="1,2,4,8")
     ap.add_argument("--iters", type=int, default=8)
     ap.add_argument("--out-json", default=None)
+    ap.add_argument("--eager-bytes", type=int, default=None,
+                    help="override ZeroVoxTTS._BATCH_EAGER_FETCH_BYTES to A/B "
+                         "the tts_batch fetch policy (0 = always trim+wait, "
+                         "huge = always eager padded fetch)")
+    ap.add_argument("--frames-per-phone", type=int, default=None,
+                    help="teacher-force this many mel frames per phone "
+                         "(random weights predict ~zero durations; 6 ≈ real "
+                         "speech, making the measured programs process a "
+                         "realistic utterance length — same convention as "
+                         "bench.py)")
     args = ap.parse_args()
 
     from zerovox_tpu.utils.compile_cache import enable_compile_cache
@@ -42,6 +52,8 @@ def main():
     from zerovox_tpu.synthesize import ZeroVoxTTS
 
     synth = ZeroVoxTTS.from_random(seed=0)
+    if args.eager_bytes is not None:
+        type(synth)._BATCH_EAGER_FETCH_BYTES = args.eager_bytes
     sr = synth.cfg.audio.sampling_rate
     hop = synth.cfg.audio.hop_size
     rng = np.random.default_rng(0)
@@ -53,15 +65,21 @@ def main():
              for _ in range(B)], axis=0)
         # vary text lengths across the batch like real traffic
         texts = [TEXT[: len(TEXT) * (i % 4 + 5) // 8] for i in range(B)]
-        # random weights predict ~zero durations; tts_batch uses predictions,
-        # which exercises the real ragged-batch path; voice seconds are
-        # computed from the returned mel lengths either way
-        outs = synth.tts_batch(texts, spkembs)  # compile
-        outs = synth.tts_batch(texts, spkembs)  # warm
+        # without --frames-per-phone: random weights predict ~zero durations;
+        # tts_batch uses predictions, which exercises the real ragged-batch
+        # path but at degenerate (near-empty) mel lengths. With it: teacher-
+        # forced realistic lengths, the representative serving workload.
+        kw = {}
+        if args.frames_per_phone:
+            kw["durations"] = [
+                np.full(len(synth.text2phonemeids(t.strip())[0]),
+                        args.frames_per_phone, np.int32) for t in texts]
+        outs = synth.tts_batch(texts, spkembs, **kw)  # compile
+        outs = synth.tts_batch(texts, spkembs, **kw)  # warm
 
         t0 = time.perf_counter()
         for _ in range(args.iters):
-            outs = synth.tts_batch(texts, spkembs)
+            outs = synth.tts_batch(texts, spkembs, **kw)
         dt = (time.perf_counter() - t0) / args.iters
         voice_s = sum(n for _, n in outs) * hop / sr
         rows.append({

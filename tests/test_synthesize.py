@@ -128,6 +128,60 @@ class TestBatchedSynthesis:
         assert n_single == outs[0][1]
         np.testing.assert_allclose(outs[0][0], wav_single, atol=2e-5)
 
+    def test_tts_batch_forced_durations_match_single(self, synth):
+        """Teacher-forced tts_batch (host-known lengths, exact bucket, no
+        duration sync) must match the single-utterance forced path per row."""
+        import jax.numpy as jnp
+
+        rng = np.random.default_rng(3)
+        spk1 = synth.speaker_embed(rng.normal(size=11000).astype(np.float32) * 0.2)
+        spk2 = synth.speaker_embed(rng.normal(size=13000).astype(np.float32) * 0.2)
+        spkembs = jnp.concatenate([spk1, spk2], axis=0)
+
+        texts = ["forced batch one", "a second forced utterance"]
+        durs = []
+        for t in texts:
+            n_ph = len(synth.text2phonemeids(t)[0])
+            durs.append(rng.integers(2, 7, size=n_ph).astype(np.int32))
+
+        outs = synth.tts_batch(texts, spkembs, durations=durs)
+        assert [n for _, n in outs] == [int(d.sum()) for d in durs]
+        for (wav_b, n_b), text, d, spk in zip(outs, texts, durs, [spk1, spk2]):
+            wav_s, _, n_s = synth.tts(text, spk, duration=d)
+            assert n_s == n_b
+            np.testing.assert_allclose(wav_b, wav_s, atol=2e-5)
+
+    def test_tts_batch_forced_wrong_length_raises(self, synth):
+        import jax.numpy as jnp
+
+        rng = np.random.default_rng(4)
+        spk = synth.speaker_embed(rng.normal(size=11000).astype(np.float32) * 0.2)
+        with pytest.raises(ValueError, match="durations"):
+            synth.tts_batch(["some text"], jnp.asarray(spk),
+                            durations=[np.array([3, 3], np.int32)])
+
+    def test_tts_batch_trimmed_fetch_matches_eager(self, synth, monkeypatch):
+        """The adaptive fetch (wait for durations, trim the speculative
+        bucket on device, fetch small) must be sample-identical to eagerly
+        fetching the full padded bucket — only the transfer size differs."""
+        import jax.numpy as jnp
+
+        rng = np.random.default_rng(9)
+        spkembs = jnp.concatenate(
+            [synth.speaker_embed(rng.normal(size=11000).astype(np.float32) * 0.2)
+             for _ in range(3)], axis=0)
+        texts = ["one short", "a medium length sentence here",
+                 "the longest sentence of the three by a clear margin indeed"]
+
+        monkeypatch.setattr(type(synth), "_BATCH_EAGER_FETCH_BYTES", 1 << 60)
+        eager = synth.tts_batch(texts, spkembs)
+        monkeypatch.setattr(type(synth), "_BATCH_EAGER_FETCH_BYTES", 0)
+        trimmed = synth.tts_batch(texts, spkembs)
+
+        assert [n for _, n in eager] == [n for _, n in trimmed]
+        for (we, _), (wt, _) in zip(eager, trimmed):
+            np.testing.assert_array_equal(we, wt)
+
 
 class TestBf16Precision:
     def test_bf16_inference_close_to_f32(self):

@@ -152,6 +152,13 @@ class ZeroVoxTTS:
         def vocode(variables, mel):
             return meldec.apply(variables, fcast(mel)).astype(jnp.float32)
 
+        @functools.partial(jax.jit, static_argnames=("n",))
+        def slice_wav(wav, n):
+            # device-side trim of the padded speculative bucket before the
+            # host fetch — for large batches the padded transfer, not
+            # compute, is the batch-serving wall (PERFORMANCE.md round 3)
+            return wav[:, :n]
+
         @jax.jit
         def wav_i16(wav):
             # 16-bit wire format for the device->host waveform fetch: halves
@@ -165,6 +172,7 @@ class ZeroVoxTTS:
         self._jit_encode_forced = encode_forced
         self._jit_decode = decode
         self._jit_vocode = vocode
+        self._jit_slice_wav = slice_wav
         self._jit_wav_i16 = wav_i16
         flag = os.environ.get("ZEROVOX_WIRE_DTYPE", "auto")
         self._wire_i16 = (flag == "i16") or (flag == "auto"
@@ -353,12 +361,17 @@ class ZeroVoxTTS:
                                               duration=duration, want_mel=False)
         return wav, phoneme, length
 
-    def tts_batch(self, texts: list[str], spkembs) -> list[tuple[np.ndarray, int]]:
+    def tts_batch(self, texts: list[str], spkembs,
+                  durations=None) -> list[tuple[np.ndarray, int]]:
         """Batched multi-speaker synthesis: one utterance per (text, speaker
         embedding) pair, padded to shared buckets so the whole batch runs as
         single XLA programs (BASELINE.md scenario: zero-shot cloning with
         batched multi-speaker synthesis). `spkembs` is [B, 1, emb] (stacked
-        speaker_embed outputs). Returns [(wav, mel_len), ...]."""
+        speaker_embed outputs). `durations`, if given, is one per-phone
+        frame-count array per utterance (teacher forcing, like `tts`'s
+        `duration=`): mel lengths are then known on the host, so the exact
+        bucket is decoded directly — no duration sync, no speculation, no
+        trim. Returns [(wav, mel_len), ...]."""
         B = len(texts)
         assert spkembs.shape[0] == B
 
@@ -375,6 +388,10 @@ class ZeroVoxTTS:
             phonemes[i, : len(p)] = p
             puncts[i, : len(p)] = q
             mask[i, : len(p)] = False
+
+        if durations is not None:
+            return self._tts_batch_forced(ids, phonemes, puncts, mask,
+                                          spkembs, durations, L)
 
         enc = self._jit_encode(self._variables, phonemes, puncts, mask, spkembs)
 
@@ -397,17 +414,70 @@ class ZeroVoxTTS:
                 pass
             return buf
 
-        wav_buf = fetch_buffer(wav_dev)
-        mel_lens = np.asarray(jnp.sum(enc["duration_rounded"], axis=1))  # overlapped
+        # Fetch policy: starting the host copy of the *speculative* bucket's
+        # waveform immediately overlaps the ~33 ms duration-sum RTT — but the
+        # bucket is padded (12 frames/phone vs ~5-7 typical), and for a large
+        # batch the padded transfer costs more than the RTT it hides. Waiting
+        # instead costs one extra blocking round trip (durations, then the
+        # trimmed fetch) but moves far fewer bytes. Measured crossover on the
+        # tunneled v5e link: eager wins up to ~4 MB padded (B=2: 83 vs
+        # 104 ms; B=4: 145 vs 151), trimming wins at ~7 MB (B=8: 198 vs
+        # 236 ms) — scripts/bench_serving.py --eager-bytes A/B, PERFORMANCE.md
+        # round-3 serving table.
+        padded_bytes = wav_dev.size * (2 if self._wire_i16 else 4)
+        eager = padded_bytes <= self._BATCH_EAGER_FETCH_BYTES
+        if eager:
+            wav_buf = fetch_buffer(wav_dev)
+        mel_lens = np.asarray(jnp.sum(enc["duration_rounded"], axis=1))  # overlapped when eager
 
         if int(mel_lens.max()) > T_spec:
             # under-speculation (rare): redo at the exact bucket
-            T = pick_bucket(min(int(mel_lens.max()), self.cfg.model.max_mel_len),
-                            MEL_BUCKETS)
+            T_spec = pick_bucket(min(int(mel_lens.max()), self.cfg.model.max_mel_len),
+                                 MEL_BUCKETS)
             mel, _, _ = self._jit_decode(
-                self._variables, enc["x"], enc["duration_rounded"], spkembs, T)
-            wav_buf = fetch_buffer(self._jit_vocode(self._meldec_variables, mel))
+                self._variables, enc["x"], enc["duration_rounded"], spkembs, T_spec)
+            wav_dev = self._jit_vocode(self._meldec_variables, mel)
+            eager = False
+        if not eager:
+            T_exact = pick_bucket(min(int(mel_lens.max()), self.cfg.model.max_mel_len),
+                                  MEL_BUCKETS)
+            if T_exact < T_spec:
+                wav_dev = self._jit_slice_wav(wav_dev,
+                                              n=T_exact * self._hop_length)
+            wav_buf = fetch_buffer(wav_dev)
 
+        return self._batch_postprocess(wav_buf, mel_lens, B)
+
+    def _tts_batch_forced(self, ids, phonemes, puncts, mask, spkembs,
+                          durations, L):
+        """tts_batch with teacher-forced per-phone durations: the exact mel
+        bucket is known on the host, so this is one straight-line dispatch
+        chain with a single (async-overlapped) waveform fetch."""
+        B = phonemes.shape[0]
+        dur = np.zeros((B, L), np.int32)
+        for i, (p, _) in enumerate(ids):
+            d = np.asarray(durations[i], np.int32)
+            if d.shape[0] != len(p):
+                raise ValueError(
+                    f"durations[{i}] has {d.shape[0]} entries for {len(p)} phones")
+            dur[i, : len(p)] = d
+        mel_lens = np.minimum(dur.sum(axis=1), self.cfg.model.max_mel_len)
+
+        enc = self._jit_encode_forced(self._variables, phonemes, puncts,
+                                      mask, spkembs, jnp.asarray(dur))
+        T = pick_bucket(min(int(mel_lens.max()), self.cfg.model.max_mel_len),
+                        MEL_BUCKETS)
+        mel, _, _ = self._jit_decode(
+            self._variables, enc["x"], enc["duration_rounded"], spkembs, T)
+        wav_dev = self._jit_vocode(self._meldec_variables, mel)
+        wav_buf = self._jit_wav_i16(wav_dev) if self._wire_i16 else wav_dev
+        try:
+            wav_buf.copy_to_host_async()
+        except Exception:
+            pass
+        return self._batch_postprocess(wav_buf, mel_lens, B)
+
+    def _batch_postprocess(self, wav_buf, mel_lens, B):
         if self._wire_i16:
             wav = np.asarray(wav_buf).astype(np.float32) / 32760.0
         else:
@@ -422,6 +492,12 @@ class ZeroVoxTTS:
     # generous upper bound on avg frames/phone for speculative bucketing
     # (~12 frames = 140 ms per phone; typical speech averages 5-7)
     _SPEC_FRAMES_PER_PHONE = 12
+    # tts_batch: max padded-waveform bytes worth fetching eagerly (overlaps
+    # the duration RTT). Above this the padded transfer costs more than the
+    # extra blocking round trip of the trim-then-fetch path — measured
+    # crossover between 3.6 and 7.2 MB on the tunneled v5e (see fetch-policy
+    # comment in tts_batch).
+    _BATCH_EAGER_FETCH_BYTES = 5_000_000
 
     def tts_stream(self, text: str, spkemb, chunk_frames: int = 96, duration=None):
         """Streaming synthesis: yields waveform chunks as they are vocoded.
