@@ -44,35 +44,54 @@ def main():
     import jax.numpy as jnp
 
     from zerovox_tpu.models.layers import BatchNorm, Conv2d
-    from zerovox_tpu.models.resnetse import ResNetSE34V2, SEBasicBlock
+    from zerovox_tpu.models.resnetse import (
+        ResNetSE34V2,
+        SEBasicBlock,
+        _pack2x2,
+        _pack_kernel,
+        _unpack2x2,
+    )
 
     B, T = args.batch, args.ref_len
     LAYERS = (3, 4, 6, 3)
     FILTERS = (32, 64, 128, 256)
 
     class Stem(nn.Module):
+        packed: bool = False
+
         @nn.compact
         def __call__(self, x):
+            kw = (dict(kernel_transform=_pack_kernel, kernel_in=1,
+                       bias_phases=4) if self.packed else {})
+            if self.packed:
+                x = _pack2x2(x)
             x = Conv2d(FILTERS[0], (3, 3), padding=(1, 1), use_bias=True,
-                       name="conv1")(x)
+                       name="conv1")(x, **kw)
             x = jax.nn.relu(x)
-            return BatchNorm(FILTERS[0], name="bn1")(x, use_running_average=False)
+            return BatchNorm(FILTERS[0], name="bn1")(
+                x, use_running_average=False, phases=4 if self.packed else 1)
 
     class Stage(nn.Module):
         planes: int
         blocks: int
         first_stride: int
         in_planes: int
+        packed: bool = False  # 2x2 lane packing (stride-1 stages only)
 
         @nn.compact
         def __call__(self, x):
+            if self.packed:
+                x = _pack2x2(x)
             inplanes = self.in_planes
             for b in range(self.blocks):
                 s = self.first_stride if b == 0 else 1
                 down = b == 0 and (s != 1 or inplanes != self.planes)
                 x = SEBasicBlock(self.planes, stride=s, downsample=down,
-                                 train=True, name=f"b{b}")(x)
+                                 train=True, phases=4 if self.packed else 1,
+                                 name=f"b{b}")(x)
                 inplanes = self.planes
+            if self.packed:
+                x = _unpack2x2(x)
             return x
 
     class Head(nn.Module):
@@ -110,9 +129,14 @@ def main():
         "layer4": (B, 20, (T + 3) // 4, FILTERS[2]),
         "head": (B, 10, (T + 7) // 8, FILTERS[3]),
     }
+    shapes["layer1_packed"] = shapes["layer1"]
+    shapes["stem_packed"] = shapes["stem"]
     mods = {
         "stem": Stem(),
+        "stem_packed": Stem(packed=True),
         "layer1": Stage(FILTERS[0], LAYERS[0], 1, FILTERS[0]),
+        # production packed_speaker path: same params, [H/2, W/2, 4C] layout
+        "layer1_packed": Stage(FILTERS[0], LAYERS[0], 1, FILTERS[0], packed=True),
         "layer2": Stage(FILTERS[1], LAYERS[1], 2, FILTERS[0]),
         "layer3": Stage(FILTERS[2], LAYERS[2], 2, FILTERS[1]),
         "layer4": Stage(FILTERS[3], LAYERS[3], 2, FILTERS[2]),
@@ -162,6 +186,25 @@ def main():
     measure("encoder_grad",
             lambda p, x: jax.grad(
                 lambda q, y: enc_fwd(q, y).sum().astype(jnp.float32),
+                argnums=(0, 1))(p, x),
+            (hp, hmel),
+            lambda g: jax.tree.leaves(g)[0].reshape(-1)[0], results)
+
+    # same encoder with the production packed_speaker flag (identical trees,
+    # so the exact same device params/stats apply)
+    enc_p = ResNetSE34V2(layers=LAYERS, num_filters=FILTERS, n_out=528,
+                         encoder_type="ASP", n_mels=80, packed_stage1=True)
+
+    def enc_p_fwd(p, x):
+        out, _ = enc_p.apply({"params": p, "batch_stats": stats}, x,
+                             train=True, mutable=["batch_stats"])
+        return out
+
+    measure("encoder_packed_fwd", enc_p_fwd, (hp, hmel),
+            lambda o: o.reshape(-1)[0], results)
+    measure("encoder_packed_grad",
+            lambda p, x: jax.grad(
+                lambda q, y: enc_p_fwd(q, y).sum().astype(jnp.float32),
                 argnums=(0, 1))(p, x),
             (hp, hmel),
             lambda g: jax.tree.leaves(g)[0].reshape(-1)[0], results)

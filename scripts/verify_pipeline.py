@@ -178,6 +178,9 @@ def main():
     ap.add_argument("--epochs", type=int, default=3)
     ap.add_argument("--batch-size", type=int, default=4)
     ap.add_argument("--convergence", action="store_true")
+    ap.add_argument("--train-args", default="",
+                    help="extra whitespace-separated flags forwarded to "
+                         "zerovox-train (e.g. '--packed-speaker --remat')")
     ap.add_argument("--out-json", default=None)
     args = ap.parse_args()
 
@@ -193,7 +196,8 @@ def main():
 
     py = sys.executable
     run([py, "-m", "zerovox_tpu.cli.preprocess", mc_path, cc_path,
-         "--aligner", "pseudo", "-m", "0.3", "-b", "2"],
+         "--aligner", "pseudo", "-m", "0.3", "-b", "2",
+         "--device", args.accelerator],
         env, os.path.join(args.work, "preprocess.log"))
 
     model_out = os.path.join(args.work, "model1")
@@ -201,7 +205,8 @@ def main():
     out = run([py, "-m", "zerovox_tpu.cli.train", "-c", mc_path, cc_path,
                "--out-folder", model_out, "--batch-size", str(args.batch_size),
                "--max-epochs", str(args.epochs), "--devices", "1",
-               "--accelerator", args.accelerator, "--num_workers", "0"],
+               "--accelerator", args.accelerator, "--num_workers", "0"]
+              + args.train_args.split(),
               env, train_log)
 
     losses = [(int(m.group(1)), float(m.group(2)), float(m.group(3)))

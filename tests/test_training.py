@@ -178,6 +178,39 @@ class TestTrainer:
         assert np.isfinite(float(l0["loss"]))
         assert float(lN["loss"]) < float(l0["loss"])
 
+    def test_packed_speaker_train_step(self, datamodule):
+        """packed_speaker: 2x2 lane-packed speaker-encoder stage 1 — the
+        full SPMD train step must run and learn, with a param tree
+        identical to the unpacked layout (checkpoint-interchangeable)."""
+        import dataclasses
+
+        cfg = tiny_cfg()
+        cfgp = dataclasses.replace(
+            cfg, model=dataclasses.replace(cfg.model, packed_speaker=True))
+
+        mesh = make_mesh(MeshConfig(data=8), devices=jax.devices()[:8])
+        tcfg = TrainerConfig(max_epochs=1, warmup_epochs=1, batch_size=8,
+                             out_folder="/tmp/zvx_test_sepacked", seed=0)
+        batch = device_batch(next(iter(datamodule.train_dataloader())))
+
+        trainer0 = Trainer(cfg, tcfg, steps_per_epoch=1, mesh=mesh)
+        trainerp = Trainer(cfgp, tcfg, steps_per_epoch=1, mesh=mesh)
+        state0 = trainer0.init_state(batch)
+        statep = trainerp.init_state(batch)
+        t0 = jax.tree.map(lambda a: a.shape, state0.params)
+        tp = jax.tree.map(lambda a: a.shape, statep.params)
+        assert t0 == tp
+
+        from zerovox_tpu.parallel.mesh import shard_batch
+
+        sb = shard_batch(batch, mesh)
+        rng = jax.random.PRNGKey(0)
+        statep, l0 = trainerp._train_step(statep, sb, rng)
+        for _ in range(4):
+            statep, lN = trainerp._train_step(statep, sb, rng)
+        assert np.isfinite(float(l0["loss"]))
+        assert float(lN["loss"]) < float(l0["loss"])
+
     def test_decoder_only_freezes_encoder(self, datamodule):
         cfg = tiny_cfg()
         mesh = make_mesh(MeshConfig(data=8), devices=jax.devices()[:8])

@@ -57,7 +57,18 @@ def main(argv=None):
                              "path, 'tone' (bundled tone-speak CTC), or 'pseudo' "
                              "(explicitly accept NON-PHONETIC test alignments)")
     parser.add_argument("-v", "--verbose", action="store_true")
+    parser.add_argument("--device", type=str, default=None,
+                        choices=["cpu", "tpu"],
+                        help="jax platform for the DSP/aligner compute "
+                             "(default: jax's own choice; 'cpu' lets "
+                             "preprocessing run while the TPU is busy or "
+                             "unreachable)")
     args = parser.parse_args(argv)
+
+    if args.device == "cpu":
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
 
     with open(args.modelcfg) as f:
         modelcfg = yaml.load(f, Loader=yaml.FullLoader)

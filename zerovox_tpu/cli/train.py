@@ -64,6 +64,10 @@ def get_args(argv=None):
                              "backward: measured ~7-9%% SLOWER on v5e but "
                              "frees the stored stem activations (memory "
                              "lever for very large batches; PERFORMANCE.md)")
+    parser.add_argument("--packed-speaker", action="store_true",
+                        help="2x2 space-to-depth lane packing of the speaker "
+                             "encoder's stage-1 blocks (C=32 pads to 128 "
+                             "lanes; identical math + checkpoints either way)")
     parser.add_argument("--max-epochs", type=int, default=40)
     parser.add_argument("--warmup-epochs", type=int, default=2)
     parser.add_argument("--batch-size", type=int, default=24,
@@ -166,7 +170,7 @@ def main(argv=None):
     modelcfg = merge_stats(modelcfg, corpora, base_path)
 
     cfg = ZeroVoxConfig.from_dict(modelcfg)
-    if args.remat or args.remat_speaker:
+    if args.remat or args.remat_speaker or args.packed_speaker:
         import dataclasses
 
         mcfg = cfg.model
@@ -174,6 +178,8 @@ def main(argv=None):
             mcfg = dataclasses.replace(mcfg, remat=True)
         if args.remat_speaker:
             mcfg = dataclasses.replace(mcfg, remat_speaker=True)
+        if args.packed_speaker:
+            mcfg = dataclasses.replace(mcfg, packed_speaker=True)
         cfg = dataclasses.replace(cfg, model=mcfg)
     symbols = Symbols(modelcfg["model"]["phones"], modelcfg["model"]["puncts"])
 

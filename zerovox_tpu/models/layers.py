@@ -199,13 +199,25 @@ class Conv2d(nn.Module):
     use_bias: bool = True
 
     @nn.compact
-    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+    def __call__(self, x: jnp.ndarray, kernel_transform=None,
+                 kernel_in: int | None = None,
+                 bias_phases: int = 1) -> jnp.ndarray:
+        """`kernel_transform` maps the canonical [kh, kw, in, out] param to the
+        kernel actually convolved (e.g. space-to-depth lane packing,
+        resnetse._pack_kernel): the param tree and checkpoints stay canonical
+        while the compute runs in a different layout. `kernel_in` overrides the
+        param's in-channel count when the transform changes it; `bias_phases`
+        tiles the canonical per-channel bias across the transform's output
+        phases (phase-major layout)."""
         kh, kw = self.kernel_size
+        cin = x.shape[-1] if kernel_in is None else kernel_in
         kernel = self.param("kernel", nn.initializers.lecun_normal(),
-                            (kh, kw, x.shape[-1], self.features))
-        y = conv2d(x, kernel, self.strides, self.padding)
+                            (kh, kw, cin, self.features))
+        k = kernel if kernel_transform is None else kernel_transform(kernel)
+        y = conv2d(x, k, self.strides, self.padding)
         if self.use_bias:
-            y = y + self.param("bias", nn.initializers.zeros, (self.features,))
+            b = self.param("bias", nn.initializers.zeros, (self.features,))
+            y = y + (b if bias_phases == 1 else jnp.tile(b, bias_phases))
         return y
 
 
@@ -330,7 +342,13 @@ class BatchNorm(nn.Module):
     momentum: float = 0.1  # torch convention: new = (1-m)*old + m*batch
 
     @nn.compact
-    def __call__(self, x: jnp.ndarray, use_running_average: bool = True) -> jnp.ndarray:
+    def __call__(self, x: jnp.ndarray, use_running_average: bool = True,
+                 phases: int = 1) -> jnp.ndarray:
+        """With `phases` > 1, x's channel axis holds `phases` spatial phases of
+        the same `features` channels (phase-major: index p*features + c, the
+        space-to-depth layout of resnetse packing). Batch statistics reduce
+        over the phase axis too, so train-mode stats and running-stat updates
+        are exactly those of the unpacked tensor."""
         scale = self.param("scale", nn.initializers.ones, (self.features,))
         bias = self.param("bias", nn.initializers.zeros, (self.features,))
         ra_mean = self.variable("batch_stats", "mean", lambda: jnp.zeros(self.features))
@@ -339,17 +357,27 @@ class BatchNorm(nn.Module):
         if use_running_average:
             mean, var = ra_mean.value, ra_var.value
         else:
-            axes = tuple(range(x.ndim - 1))
-            mean = jnp.mean(x, axis=axes)
-            # batch statistics use biased variance for normalization...
-            var = jnp.mean((x - mean.reshape((1,) * (x.ndim - 1) + (-1,))) ** 2, axis=axes)
-            if not self.is_initializing():
+            if phases == 1:
+                axes = tuple(range(x.ndim - 1))
+                mean = jnp.mean(x, axis=axes)
+                # batch statistics use biased variance for normalization...
+                var = jnp.mean((x - mean.reshape((1,) * (x.ndim - 1) + (-1,))) ** 2, axis=axes)
                 n = np.prod([x.shape[a] for a in axes])
+            else:
+                xr = x.reshape(x.shape[:-1] + (phases, self.features))
+                axes = tuple(range(xr.ndim - 1))
+                mean = jnp.mean(xr, axis=axes)
+                var = jnp.mean((xr - mean) ** 2, axis=axes)
+                n = np.prod([xr.shape[a] for a in axes])
+            if not self.is_initializing():
                 # ...but torch updates running_var with the unbiased estimate
                 unbiased = var * n / max(n - 1, 1)
                 ra_mean.value = (1 - self.momentum) * ra_mean.value + self.momentum * mean
                 ra_var.value = (1 - self.momentum) * ra_var.value + self.momentum * unbiased
 
+        if phases > 1:
+            mean, var = jnp.tile(mean, phases), jnp.tile(var, phases)
+            scale, bias = jnp.tile(scale, phases), jnp.tile(bias, phases)
         shape = (1,) * (x.ndim - 1) + (-1,)
         inv = jax.lax.rsqrt(var + self.eps)
         return (x - mean.reshape(shape)) * inv.reshape(shape) * scale.reshape(shape) + bias.reshape(shape)

@@ -17,23 +17,105 @@ from __future__ import annotations
 import flax.linen as nn
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from zerovox_tpu.models.layers import BatchNorm, Conv2d
 
+# ---------------------------------------------------------------------------
+# 2x2 space-to-depth lane packing for the stride-1 C=32 stage.
+#
+# bench_se_stages.py: layer1 (three stride-1 SE-ResNet blocks at full
+# [B, 80, T, 32] resolution) is 57% of the encoder backward at 6% MFU —
+# C=32 in the minor (lane) dimension wastes 3/4 of every 128-wide tile on
+# both the MXU and the VPU. Packing 2x2 spatial phases into channels
+# (C 32 -> 128, exactly one lane tile) re-expresses every op of the block
+# with identical math; the parameter tree stays canonical [3,3,C,C] so
+# checkpoints and the torch converter are unaffected. Parity + roofline:
+# scripts/exp_se_packed.py, tests/test_parity_modules.py.
+# ---------------------------------------------------------------------------
+
+
+def _pack2x2(x: jnp.ndarray) -> jnp.ndarray:
+    """[B, H, W, C] -> [B, H/2, W/2, 4C], phase-major p = 2*ph + pw."""
+    B, H, W, C = x.shape
+    x = x.reshape(B, H // 2, 2, W // 2, 2, C)
+    return jnp.transpose(x, (0, 1, 3, 2, 4, 5)).reshape(B, H // 2, W // 2, 4 * C)
+
+
+def _unpack2x2(x: jnp.ndarray) -> jnp.ndarray:
+    """Inverse of _pack2x2."""
+    B, H2, W2, C4 = x.shape
+    C = C4 // 4
+    x = x.reshape(B, H2, W2, 2, 2, C)
+    return jnp.transpose(x, (0, 1, 3, 2, 4, 5)).reshape(B, H2 * 2, W2 * 2, C)
+
+
+def _phase_axis_maps():
+    # For packed tap r and (input phase p, output phase q) along one axis the
+    # original tap offset is d = 2*(r-1) + p - q, valid iff |d| <= 1. One
+    # gather+mask per call keeps the weight transform differentiable and
+    # cheap to compile (vs 144 scatters).
+    idx = np.zeros((3, 2, 2), np.int32)
+    msk = np.zeros((3, 2, 2), np.float32)
+    for r in range(3):
+        for p in range(2):
+            for q in range(2):
+                d = 2 * (r - 1) + p - q
+                if -1 <= d <= 1:
+                    idx[r, p, q] = d + 1
+                    msk[r, p, q] = 1.0
+    return idx, msk
+
+
+_IDX_H, _MSK_H = _phase_axis_maps()
+
+
+def _pack_kernel(w: jnp.ndarray) -> jnp.ndarray:
+    """Canonical [3, 3, Ci, Co] conv kernel -> [3, 3, 4Ci, 4Co] packed kernel.
+
+    The packed kernel is a fixed phase-structured rearrangement (with zeros)
+    of the canonical taps; convolving the packed activation with it equals
+    the canonical 3x3 stride-1 SAME conv on the unpacked activation.
+    Gradients flow through the gather back to the canonical parameter.
+    """
+    ci, co = w.shape[2], w.shape[3]
+    idx = jnp.asarray(_IDX_H)
+    msk = jnp.asarray(_MSK_H)
+    # g[rh, ph, qh, rw, pw, qw, ci, co] = w[dh+1, dw+1, ci, co] * valid
+    g = w[idx[:, :, :, None, None, None], idx[None, None, None]]
+    g = g * (msk[:, :, :, None, None, None]
+             * msk[None, None, None])[..., None, None].astype(w.dtype)
+    # -> [rh, rw, (ph pw ci), (qh qw co)] = [3, 3, 4Ci, 4Co]
+    g = jnp.transpose(g, (0, 3, 1, 4, 6, 2, 5, 7))
+    return g.reshape(3, 3, 4 * ci, 4 * co)
+
 
 class SELayer(nn.Module):
-    """Squeeze-and-excitation gate (reference ResNetSE34V2.py:52-67)."""
+    """Squeeze-and-excitation gate (reference ResNetSE34V2.py:52-67).
+
+    With `phases` > 1 the input's channel axis holds `phases` spatial phases
+    of the same `channels` channels (phase-major, _pack2x2 layout): the
+    squeeze averages over space AND phases per original channel and the gate
+    is tiled back — exactly the unpacked op."""
 
     channels: int
     reduction: int = 8
+    phases: int = 1
 
     @nn.compact
-    def __call__(self, x):  # x: [B, H, W, C]
-        y = jnp.mean(x, axis=(1, 2))  # global average pool
+    def __call__(self, x):  # x: [B, H, W, phases*C]
+        if self.phases == 1:
+            y = jnp.mean(x, axis=(1, 2))  # global average pool
+        else:
+            B, H, W, _ = x.shape
+            y = jnp.mean(x.reshape(B, H, W, self.phases, self.channels),
+                         axis=(1, 2, 3))
         y = nn.Dense(max(1, self.channels // self.reduction), name="fc1")(y)
         y = jax.nn.relu(y)
         y = nn.Dense(self.channels, name="fc2")(y)
         y = jax.nn.sigmoid(y)
+        if self.phases > 1:
+            y = jnp.tile(y, self.phases)
         return x * y[:, None, None, :]
 
 
@@ -45,19 +127,33 @@ class SEBasicBlock(nn.Module):
     stride: int = 1
     downsample: bool = False
     train: bool = False
+    # phases=4: operate on the _pack2x2 space-to-depth layout (stride-1,
+    # no-downsample blocks only). Same math, same param/batch_stats trees.
+    phases: int = 1
 
     @nn.compact
     def __call__(self, x):
+        if self.phases != 1:
+            assert self.phases == 4 and self.stride == 1 and not self.downsample, \
+                "lane packing supports stride-1 residual blocks only"
+        packed = self.phases == 4
+        ktrans = _pack_kernel if packed else None
+        kin = self.planes if packed else None
+
         residual = x
 
         out = Conv2d(self.planes, (3, 3), strides=(self.stride, self.stride),
-                     padding=(1, 1), use_bias=False, name="conv1")(x)
+                     padding=(1, 1), use_bias=False, name="conv1")(
+                         x, kernel_transform=ktrans, kernel_in=kin)
         out = jax.nn.relu(out)
-        out = BatchNorm(self.planes, name="bn1")(out, use_running_average=not self.train)
+        out = BatchNorm(self.planes, name="bn1")(
+            out, use_running_average=not self.train, phases=self.phases)
 
-        out = Conv2d(self.planes, (3, 3), padding=(1, 1), use_bias=False, name="conv2")(out)
-        out = BatchNorm(self.planes, name="bn2")(out, use_running_average=not self.train)
-        out = SELayer(self.planes, name="se")(out)
+        out = Conv2d(self.planes, (3, 3), padding=(1, 1), use_bias=False, name="conv2")(
+            out, kernel_transform=ktrans, kernel_in=kin)
+        out = BatchNorm(self.planes, name="bn2")(
+            out, use_running_average=not self.train, phases=self.phases)
+        out = SELayer(self.planes, phases=self.phases, name="se")(out)
 
         if self.downsample:
             residual = Conv2d(self.planes, (1, 1), strides=(self.stride, self.stride),
@@ -81,6 +177,12 @@ class ResNetSE34V2(nn.Module):
     # docs/PERFORMANCE.md round-3 roofline), so this is a memory lever
     # only. Param/batch_stats trees are unchanged either way.
     remat: bool = False
+    # 2x2 space-to-depth lane packing for stage 1 (stride-1 blocks at C=32
+    # full resolution, 57% of the encoder backward at 6% MFU — see module
+    # docstring above _pack2x2). Identical math and trees; applies only when
+    # the stem output's spatial dims are both even (always true in training:
+    # ref mels are a fixed 500x80 crop), silently unpacked otherwise.
+    packed_stage1: bool = False
 
     @nn.compact
     def __call__(self, x, l2_norm: bool = True, train: bool = False):
@@ -97,20 +199,36 @@ class ResNetSE34V2(nn.Module):
         # [B, H=n_mels, W=T, C=1] (freq as height, time as width, as in torch)
         x = jnp.transpose(x, (0, 2, 1))[..., None]
 
-        x = Conv2d(self.num_filters[0], (3, 3), padding=(1, 1), use_bias=True, name="conv1")(x)
+        # The stem shares stage 1's C=32 lane-padding disease (its output is
+        # the largest C=32 tensor in the graph), so the packed region starts
+        # at the stem: pack the 1-channel input (cheap — nothing is padded
+        # yet) and run stem + stage 1 entirely in the [H/2, W/2, 4C] layout.
+        pack0 = (self.packed_stage1
+                 and x.shape[1] % 2 == 0 and x.shape[2] % 2 == 0)
+        if pack0:
+            x = _pack2x2(x)
+        stem_kw = (dict(kernel_transform=_pack_kernel, kernel_in=1,
+                        bias_phases=4) if pack0 else {})
+        x = Conv2d(self.num_filters[0], (3, 3), padding=(1, 1), use_bias=True,
+                   name="conv1")(x, **stem_kw)
         x = jax.nn.relu(x)
-        x = BatchNorm(self.num_filters[0], name="bn1")(x, use_running_average=not train)
+        x = BatchNorm(self.num_filters[0], name="bn1")(
+            x, use_running_average=not train, phases=4 if pack0 else 1)
 
         block_cls = nn.remat(SEBasicBlock) if self.remat else SEBasicBlock
         inplanes = self.num_filters[0]
         for stage, (blocks, planes) in enumerate(zip(self.layers, self.num_filters)):
             stride = 1 if stage == 0 else 2
+            pack = pack0 and stage == 0
             for b in range(blocks):
                 s = stride if b == 0 else 1
                 down = b == 0 and (s != 1 or inplanes != planes)
                 x = block_cls(planes, stride=s, downsample=down, train=train,
+                              phases=4 if pack else 1,
                               name=f"layer{stage + 1}_{b}")(x)
                 inplanes = planes
+            if pack:
+                x = _unpack2x2(x)
 
         # [B, H', W', C] -> flatten freq+channels per time step: [B, W', H'*C]
         B, H, W, C = x.shape
