@@ -71,7 +71,13 @@ class ZeroVoxTTS:
         verbose: bool = False,
         meldec_model: str = "",
         precision: str | None = None,
+        mesh: jax.sharding.Mesh | None = None,
     ):
+        """`mesh` (optional): a jax Mesh with a "data" axis. Batch serving
+        (`tts_batch`) then shards utterance rows across the mesh — params are
+        replicated, XLA SPMD runs each shard's decode+vocode on its own
+        device over ICI, and results gather on fetch. Single-utterance paths
+        (`tts`, `tts_stream`) are unaffected (B=1 cannot shard)."""
         self.cfg = cfg
         self._verbose = verbose
         self._meldec_model = meldec_model
@@ -103,9 +109,22 @@ class ZeroVoxTTS:
             variables = cast(variables)
             meldec_variables = cast(meldec_variables)
 
-        dev = jax.devices()[0]
-        self._variables = jax.device_put(variables, dev)
-        self._meldec_variables = jax.device_put(meldec_variables, dev)
+        self._mesh = mesh
+        if mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec
+
+            if "data" not in mesh.axis_names:
+                raise ValueError("serving mesh must have a 'data' axis "
+                                 f"(got {mesh.axis_names})")
+            rep = NamedSharding(mesh, PartitionSpec())
+            self._variables = jax.device_put(variables, rep)
+            self._meldec_variables = jax.device_put(meldec_variables, rep)
+            self._row_sharding = NamedSharding(mesh, PartitionSpec("data"))
+        else:
+            dev = jax.devices()[0]
+            self._variables = jax.device_put(variables, dev)
+            self._meldec_variables = jax.device_put(meldec_variables, dev)
+            self._row_sharding = None
         jax.block_until_ready((self._variables, self._meldec_variables))
 
         a = cfg.audio
@@ -381,13 +400,30 @@ class ZeroVoxTTS:
             return [(np.zeros(1, np.float32), 0)] * B
         L = pick_bucket(max_n, TEXT_BUCKETS)
 
-        phonemes = np.zeros((B, L), np.int32)
-        puncts = np.zeros((B, L), np.int32)
-        mask = np.ones((B, L), dtype=bool)
+        # mesh serving: round the row count up to the data-axis size so each
+        # device gets equal shards; pad rows are fully masked (mel_len 0) and
+        # dropped by _batch_postprocess's range(B)
+        Bp = B
+        if self._mesh is not None:
+            nd = self._mesh.shape["data"]
+            Bp = -(-B // nd) * nd
+
+        phonemes = np.zeros((Bp, L), np.int32)
+        puncts = np.zeros((Bp, L), np.int32)
+        mask = np.ones((Bp, L), dtype=bool)
         for i, (p, q) in enumerate(ids):
             phonemes[i, : len(p)] = p
             puncts[i, : len(p)] = q
             mask[i, : len(p)] = False
+
+        if Bp != B:
+            spkembs = np.concatenate(
+                [np.asarray(spkembs, np.float32),
+                 np.zeros((Bp - B,) + tuple(np.shape(spkembs)[1:]), np.float32)])
+        if self._row_sharding is not None:
+            phonemes, puncts, mask, spkembs = jax.device_put(
+                (phonemes, puncts, mask, np.asarray(spkembs, np.float32)),
+                self._row_sharding)
 
         if durations is not None:
             return self._tts_batch_forced(ids, phonemes, puncts, mask,
@@ -453,7 +489,7 @@ class ZeroVoxTTS:
         """tts_batch with teacher-forced per-phone durations: the exact mel
         bucket is known on the host, so this is one straight-line dispatch
         chain with a single (async-overlapped) waveform fetch."""
-        B = phonemes.shape[0]
+        B = phonemes.shape[0]  # row count incl. any mesh padding
         dur = np.zeros((B, L), np.int32)
         for i, (p, _) in enumerate(ids):
             d = np.asarray(durations[i], np.int32)
@@ -463,8 +499,10 @@ class ZeroVoxTTS:
             dur[i, : len(p)] = d
         mel_lens = np.minimum(dur.sum(axis=1), self.cfg.model.max_mel_len)
 
+        dur_dev = (jax.device_put(dur, self._row_sharding)
+                   if self._row_sharding is not None else jnp.asarray(dur))
         enc = self._jit_encode_forced(self._variables, phonemes, puncts,
-                                      mask, spkembs, jnp.asarray(dur))
+                                      mask, spkembs, dur_dev)
         T = pick_bucket(min(int(mel_lens.max()), self.cfg.model.max_mel_len),
                         MEL_BUCKETS)
         mel, _, _ = self._jit_decode(
@@ -475,7 +513,8 @@ class ZeroVoxTTS:
             wav_buf.copy_to_host_async()
         except Exception:
             pass
-        return self._batch_postprocess(wav_buf, mel_lens, B)
+        # len(ids) = requested rows (B includes mesh padding rows)
+        return self._batch_postprocess(wav_buf, mel_lens, len(ids))
 
     def _batch_postprocess(self, wav_buf, mel_lens, B):
         if self._wire_i16:
@@ -621,11 +660,13 @@ class ZeroVoxTTS:
 
     @classmethod
     def load_model(cls, modelpath, meldec_model, infer_device: str = "",
-                   num_threads: int = -1, verbose: bool = False):
+                   num_threads: int = -1, verbose: bool = False,
+                   mesh: jax.sharding.Mesh | None = None):
         """Resolve modelcfg.yaml + newest checkpoint from a local dir or the
         hub (reference zerovox/tts/synthesize.py:286-328). Returns
         (modelcfg dict, ZeroVoxTTS). `infer_device`/`num_threads` are accepted
-        for API compatibility; device placement is JAX's."""
+        for API compatibility; device placement is JAX's. `mesh` enables
+        data-parallel batch serving (see ZeroVoxTTS.__init__)."""
         if os.path.isdir(modelpath):
             config_path = Path(modelpath) / "modelcfg.yaml"
             ckpts = glob.glob(os.path.join(modelpath, "checkpoints/*.ckpt"))
@@ -647,7 +688,8 @@ class ZeroVoxTTS:
         meldec_cfg, meldec_vars = cls._load_meldec(meldec_model, embedded_meldec, verbose)
 
         synth = cls(cfg, variables, meldec_cfg, meldec_vars,
-                    language=cfg.langs[0], verbose=verbose, meldec_model=str(meldec_model))
+                    language=cfg.langs[0], verbose=verbose,
+                    meldec_model=str(meldec_model), mesh=mesh)
         return modelcfg, synth
 
     @staticmethod
@@ -706,7 +748,8 @@ class ZeroVoxTTS:
     def from_random(cls, cfg: ZeroVoxConfig | None = None,
                     meldec_cfg: HifiGanConfig | None = None,
                     seed: int = 0, language: str = "en", verbose: bool = False,
-                    precision: str | None = None):
+                    precision: str | None = None,
+                    mesh: jax.sharding.Mesh | None = None):
         """Random-initialized engine (benchmarking / tests / offline envs)."""
         cfg = cfg or ZeroVoxConfig()
         meldec_cfg = meldec_cfg or HifiGanConfig(num_mels=cfg.audio.num_mels,
@@ -737,4 +780,5 @@ class ZeroVoxTTS:
             )(jax.random.PRNGKey(seed + 1))
             jax.block_until_ready((variables, mdvars))
         return cls(cfg, variables, meldec_cfg, mdvars,
-                   language=language, verbose=verbose, precision=precision)
+                   language=language, verbose=verbose, precision=precision,
+                   mesh=mesh)
