@@ -209,3 +209,56 @@ class TestStatsContract:
         f0 = interpolate_f0(f0)
         assert abs(f0.min() - 120.0) / 120.0 < 0.03
         assert abs(f0.max() - 380.0) / 380.0 < 0.03
+
+
+REF_AUDIO_DIR = "/root/reference/zerovox/tts/refaudio"
+
+
+@pytest.mark.skipif(not __import__("os").path.isdir(REF_AUDIO_DIR),
+                    reason="reference refaudio wavs not available")
+class TestRealRecordedSpeech:
+    """Sanity battery on real recorded human speech (the reference's bundled
+    speaker-reference wavs, read in place — nothing is vendored). No ground
+    truth exists for these, so assertions are plausibility bounds: a real
+    recording of one adult speaker must yield a substantial voiced fraction,
+    F0 inside the human range, frame-to-frame continuity typical of speech,
+    and a stats range that doesn't collapse or explode — the exact
+    quantities stats.json quantization consumes."""
+
+    WAVS = ["en_kevin.wav", "de_Anka.wav", "en_sarah.wav"]
+
+    def _load(self, name):
+        from zerovox_tpu.dsp.audio import load_wav
+
+        wav, sr = load_wav(f"{REF_AUDIO_DIR}/{name}", target_sr=SR)
+        return wav
+
+    @pytest.mark.parametrize("name", WAVS)
+    def test_plausible_f0_on_recording(self, name):
+        wav = self._load(name)
+        f0 = estimate_f0(wav, SR, HOP)
+        v = f0 > 0
+        assert v.mean() > 0.25, f"{name}: only {v.mean():.0%} voiced"
+        voiced = f0[v]
+        # adult speech: median F0 well inside 70..400 Hz
+        assert 70.0 < np.median(voiced) < 400.0
+        assert voiced.min() >= 71.0  # floor respected
+        # bulk of the track must sit in the speech band; real recordings
+        # legitimately throw a few onset/breath transients near the ceiling
+        assert np.percentile(voiced, 95) < 450.0
+        # continuity: consecutive voiced frames move < 25% almost always
+        pairs = v[:-1] & v[1:]
+        rel = np.abs(np.diff(f0))[pairs] / f0[:-1][pairs]
+        assert (rel < 0.25).mean() > 0.9, f"{name}: jumpy track"
+
+    def test_stats_range_sane_across_speakers(self):
+        """Per-utterance min/max (what preprocess writes into stats.json)
+        must span a usable, non-degenerate quantization range."""
+        for name in self.WAVS:
+            wav = self._load(name)
+            f0 = estimate_f0(wav, SR, HOP)
+            v = f0[f0 > 0]
+            lo, hi = float(np.percentile(v, 2)), float(np.percentile(v, 98))
+            assert hi - lo > 20.0, f"{name}: degenerate F0 range [{lo},{hi}]"
+            # one speaker's comfortable range spans well under 2 octaves
+            assert hi / max(lo, 1e-9) < 4.0, f"{name}: implausible range"
