@@ -190,24 +190,25 @@ def main():
             (hp, hmel),
             lambda g: jax.tree.leaves(g)[0].reshape(-1)[0], results)
 
-    # same encoder with the production packed_speaker flag (identical trees,
-    # so the exact same device params/stats apply)
-    enc_p = ResNetSE34V2(layers=LAYERS, num_filters=FILTERS, n_out=528,
-                         encoder_type="ASP", n_mels=80, packed_stage1=True)
+    # same encoder with the production packed_speaker levels (identical
+    # trees, so the exact same device params/stats apply)
+    for lvl in (1, 2):
+        enc_p = ResNetSE34V2(layers=LAYERS, num_filters=FILTERS, n_out=528,
+                             encoder_type="ASP", n_mels=80, packed_stages=lvl)
 
-    def enc_p_fwd(p, x):
-        out, _ = enc_p.apply({"params": p, "batch_stats": stats}, x,
-                             train=True, mutable=["batch_stats"])
-        return out
+        def enc_p_fwd(p, x, _e=enc_p):
+            out, _ = _e.apply({"params": p, "batch_stats": stats}, x,
+                              train=True, mutable=["batch_stats"])
+            return out
 
-    measure("encoder_packed_fwd", enc_p_fwd, (hp, hmel),
-            lambda o: o.reshape(-1)[0], results)
-    measure("encoder_packed_grad",
-            lambda p, x: jax.grad(
-                lambda q, y: enc_p_fwd(q, y).sum().astype(jnp.float32),
-                argnums=(0, 1))(p, x),
-            (hp, hmel),
-            lambda g: jax.tree.leaves(g)[0].reshape(-1)[0], results)
+        measure(f"encoder_packed{lvl}_fwd", enc_p_fwd, (hp, hmel),
+                lambda o: o.reshape(-1)[0], results)
+        measure(f"encoder_packed{lvl}_grad",
+                lambda p, x, _f=enc_p_fwd: jax.grad(
+                    lambda q, y: _f(q, y).sum().astype(jnp.float32),
+                    argnums=(0, 1))(p, x),
+                (hp, hmel),
+                lambda g: jax.tree.leaves(g)[0].reshape(-1)[0], results)
 
     out = {"batch": B, "ref_len": T, "rows": results}
     print(json.dumps(out))

@@ -1,6 +1,6 @@
 """Packed (2x2 space-to-depth) speaker-encoder stage-1 == unpacked, exactly.
 
-The packed path (models/resnetse.py `packed_stage1`, plumbed from
+The packed path (models/resnetse.py `packed_stages`, plumbed from
 ModelConfig.packed_speaker / `zerovox-train --packed-speaker`) re-expresses
 the stride-1 C=32 SE-ResNet blocks on a [H/2, W/2, 4C] lane-packed layout:
 the conv kernels actually convolved are a fixed phase-structured
@@ -22,11 +22,11 @@ FILTERS = (8, 16, 32, 64)
 N_MELS = 16
 
 
-def _models():
+def _models(packed_stages=1):
     kw = dict(layers=LAYERS, num_filters=FILTERS, n_out=24,
               encoder_type="ASP", n_mels=N_MELS, log_input=False)
-    return (ResNetSE34V2(**kw, packed_stage1=False),
-            ResNetSE34V2(**kw, packed_stage1=True))
+    return (ResNetSE34V2(**kw, packed_stages=0),
+            ResNetSE34V2(**kw, packed_stages=packed_stages))
 
 
 def _init(model, T=20, B=2, seed=0):
@@ -43,8 +43,9 @@ class TestPackedSpeakerEncoder:
         np.testing.assert_array_equal(np.asarray(_unpack2x2(_pack2x2(x))),
                                       np.asarray(x))
 
-    def test_trees_identical(self):
-        base, packed = _models()
+    @pytest.mark.parametrize("stages", [1, 2])
+    def test_trees_identical(self, stages):
+        base, packed = _models(stages)
         _, v0 = _init(base)
         _, v1 = _init(packed)
         t0 = jax.tree.map(lambda a: (a.shape, str(a.dtype)), v0)
@@ -52,8 +53,9 @@ class TestPackedSpeakerEncoder:
         assert t0 == t1
 
     @pytest.mark.parametrize("train", [False, True])
-    def test_forward_parity(self, train):
-        base, packed = _models()
+    @pytest.mark.parametrize("stages", [1, 2])
+    def test_forward_parity(self, train, stages):
+        base, packed = _models(stages)
         x, variables = _init(base)
         kw = dict(train=train)
         if train:
@@ -69,8 +71,9 @@ class TestPackedSpeakerEncoder:
             y1 = packed.apply(variables, x, **kw)
         np.testing.assert_allclose(np.asarray(y0), np.asarray(y1), atol=2e-5)
 
-    def test_grad_parity(self):
-        base, packed = _models()
+    @pytest.mark.parametrize("stages", [1, 2])
+    def test_grad_parity(self, stages):
+        base, packed = _models(stages)
         x, variables = _init(base)
         params, stats = variables["params"], variables["batch_stats"]
 
@@ -99,6 +102,16 @@ class TestPackedSpeakerEncoder:
         path — identical output, no shape error."""
         base, packed = _models()
         x, variables = _init(base, T=21)
+        y0 = base.apply(variables, x)
+        y1 = packed.apply(variables, x)
+        np.testing.assert_allclose(np.asarray(y0), np.asarray(y1), atol=2e-5)
+
+    def test_stage2_stops_extending_on_odd_packed_dims(self):
+        """packed_stages=2 with stage-1 packed dims odd: the region stops
+        after stage 1 (unpack before stage 2) — identical output."""
+        base, packed = _models(2)
+        # T=22 -> packed W2=11 odd: stage-2 extension must be declined
+        x, variables = _init(base, T=22)
         y0 = base.apply(variables, x)
         y1 = packed.apply(variables, x)
         np.testing.assert_allclose(np.asarray(y0), np.asarray(y1), atol=2e-5)

@@ -64,10 +64,13 @@ def get_args(argv=None):
                              "backward: measured ~7-9%% SLOWER on v5e but "
                              "frees the stored stem activations (memory "
                              "lever for very large batches; PERFORMANCE.md)")
-    parser.add_argument("--packed-speaker", action="store_true",
+    parser.add_argument("--packed-speaker", type=int, nargs="?", const=1,
+                        default=0, choices=[0, 1, 2],
                         help="2x2 space-to-depth lane packing of the speaker "
-                             "encoder's stage-1 blocks (C=32 pads to 128 "
-                             "lanes; identical math + checkpoints either way)")
+                             "encoder's first N stages (C=32 pads to 128 "
+                             "lanes; 1 = stem+stage1, 2 = through stage 2's "
+                             "stride-2 transition; identical math + "
+                             "checkpoints at any level)")
     parser.add_argument("--max-epochs", type=int, default=40)
     parser.add_argument("--warmup-epochs", type=int, default=2)
     parser.add_argument("--batch-size", type=int, default=24,
@@ -179,7 +182,7 @@ def main(argv=None):
         if args.remat_speaker:
             mcfg = dataclasses.replace(mcfg, remat_speaker=True)
         if args.packed_speaker:
-            mcfg = dataclasses.replace(mcfg, packed_speaker=True)
+            mcfg = dataclasses.replace(mcfg, packed_speaker=args.packed_speaker)
         cfg = dataclasses.replace(cfg, model=mcfg)
     symbols = Symbols(modelcfg["model"]["phones"], modelcfg["model"]["puncts"])
 

@@ -82,13 +82,14 @@ class ModelConfig:
     # round-3 roofline section). Off by default; remains available as a
     # memory lever for batches whose stored stem activations OOM.
     remat_speaker: bool = False
-    # 2x2 space-to-depth lane packing of the speaker encoder's stage-1
-    # blocks (C=32 at full resolution pads to 128 lanes, wasting 3/4 of
+    # 2x2 space-to-depth lane packing of the speaker encoder's first N
+    # stages (C=32 at full resolution pads to 128 lanes, wasting 3/4 of
     # every MXU/VPU tile; bench_se_stages.py: 57% of the encoder backward
-    # at 6% MFU). Identical math and identical param/batch_stats trees —
-    # the packed kernel is a fixed rearrangement of the canonical [3,3,C,C]
-    # parameter — so checkpoints are interchangeable either way.
-    packed_speaker: bool = False
+    # at 6% MFU). 0 = off, 1 = stem + stage 1, 2 = also through stage 2's
+    # stride-2 transition. Identical math and identical param/batch_stats
+    # trees at any level — the packed kernels are fixed rearrangements of
+    # the canonical parameters — so checkpoints are interchangeable.
+    packed_speaker: int = 0
     encoder: EncoderConfig = field(default_factory=EncoderConfig)
     decoder: DecoderConfig = field(default_factory=DecoderConfig)
     resnet: ResNetConfig = field(default_factory=ResNetConfig)

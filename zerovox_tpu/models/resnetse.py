@@ -90,6 +90,27 @@ def _pack_kernel(w: jnp.ndarray) -> jnp.ndarray:
     return g.reshape(3, 3, 4 * ci, 4 * co)
 
 
+def _pack_kernel_s2(w: jnp.ndarray) -> jnp.ndarray:
+    """Canonical [3, 3, Ci, Co] kernel -> [3, 3, 4Ci, Co]: a stride-2 SAME
+    conv on the unpacked input re-expressed as a stride-1 SAME conv on the
+    _pack2x2 input, emitting the (unpacked) stride-2 output grid directly.
+
+    Per axis, output position i reads unpacked positions 2i+d (d in -1..1) =
+    packed row i+t-1 phase p with d = 2*(t-1) + p — the stride-1 tap map at
+    output phase q=0 — so the axis maps are _IDX_H/_MSK_H sliced at q=0
+    (t=2 taps are all zero; keeping the 3-tap shape reuses symmetric SAME
+    padding, and the dead taps cost ~micro-seconds of MXU time at these
+    shapes)."""
+    ci, co = w.shape[2], w.shape[3]
+    idx = jnp.asarray(_IDX_H[:, :, 0])
+    msk = jnp.asarray(_MSK_H[:, :, 0])
+    # g[th, ph, tw, pw, ci, co] = w[dh+1, dw+1, ci, co] * valid
+    g = w[idx[:, :, None, None], idx[None, None]]
+    g = g * (msk[:, :, None, None] * msk[None, None])[..., None, None].astype(w.dtype)
+    g = jnp.transpose(g, (0, 2, 1, 3, 4, 5))  # [th, tw, ph, pw, ci, co]
+    return g.reshape(3, 3, 4 * ci, co)
+
+
 class SELayer(nn.Module):
     """Squeeze-and-excitation gate (reference ResNetSE34V2.py:52-67).
 
@@ -130,9 +151,17 @@ class SEBasicBlock(nn.Module):
     # phases=4: operate on the _pack2x2 space-to-depth layout (stride-1,
     # no-downsample blocks only). Same math, same param/batch_stats trees.
     phases: int = 1
+    # packed_transition: a stride-2 downsample block that CONSUMES a packed
+    # input and EMITS a packed output — the stride-2 convs become stride-1
+    # phase-gathered convs on the packed grid (_pack_kernel_s2 / phase-(0,0)
+    # slice for the 1x1 downsample), so the C-narrow boundary tensor between
+    # stages never materializes in the lane-padded layout. Same trees.
+    packed_transition: bool = False
 
     @nn.compact
     def __call__(self, x):
+        if self.packed_transition:
+            return self._transition_call(x)
         if self.phases != 1:
             assert self.phases == 4 and self.stride == 1 and not self.downsample, \
                 "lane packing supports stride-1 residual blocks only"
@@ -162,6 +191,39 @@ class SEBasicBlock(nn.Module):
 
         return jax.nn.relu(out + residual)
 
+    def _transition_call(self, x):
+        """Packed-in/packed-out stride-2 block (see packed_transition)."""
+        assert self.stride == 2 and self.downsample, \
+            "packed_transition is a stride-2 downsample block"
+        cin = x.shape[-1] // 4  # canonical in-channels under the packing
+        ra = not self.train
+
+        # stride-2 3x3 conv == stride-1 phase-gathered conv on the packed
+        # grid, emitting the stride-2 output grid (== the packed grid)
+        out = Conv2d(self.planes, (3, 3), strides=(1, 1), padding=(1, 1),
+                     use_bias=False, name="conv1")(
+                         x, kernel_transform=_pack_kernel_s2, kernel_in=cin)
+        out = _pack2x2(out)  # re-pack for this stage's resolution
+        out = jax.nn.relu(out)
+        out = BatchNorm(self.planes, name="bn1")(out, use_running_average=ra,
+                                                 phases=4)
+        out = Conv2d(self.planes, (3, 3), padding=(1, 1), use_bias=False,
+                     name="conv2")(out, kernel_transform=_pack_kernel,
+                                   kernel_in=self.planes)
+        out = BatchNorm(self.planes, name="bn2")(out, use_running_average=ra,
+                                                 phases=4)
+        out = SELayer(self.planes, phases=4, name="se")(out)
+
+        # 1x1 stride-2 downsample reads only the unpacked (0,0) phase —
+        # exactly the first `cin` channels of the phase-major packed layout
+        residual = Conv2d(self.planes, (1, 1), strides=(1, 1), padding=(0, 0),
+                          use_bias=False, name="downsample_conv")(x[..., :cin])
+        residual = _pack2x2(residual)
+        residual = BatchNorm(self.planes, name="downsample_bn")(
+            residual, use_running_average=ra, phases=4)
+
+        return jax.nn.relu(out + residual)
+
 
 class ResNetSE34V2(nn.Module):
     layers: tuple[int, ...] = (3, 4, 6, 3)
@@ -177,12 +239,15 @@ class ResNetSE34V2(nn.Module):
     # docs/PERFORMANCE.md round-3 roofline), so this is a memory lever
     # only. Param/batch_stats trees are unchanged either way.
     remat: bool = False
-    # 2x2 space-to-depth lane packing for stage 1 (stride-1 blocks at C=32
-    # full resolution, 57% of the encoder backward at 6% MFU — see module
-    # docstring above _pack2x2). Identical math and trees; applies only when
-    # the stem output's spatial dims are both even (always true in training:
-    # ref mels are a fixed 500x80 crop), silently unpacked otherwise.
-    packed_stage1: bool = False
+    # 2x2 space-to-depth lane packing of the first `packed_stages` stages
+    # (plus the stem): 1 packs the C=32 full-resolution stage (57% of the
+    # encoder backward at 6% MFU — see module docstring above _pack2x2);
+    # 2 extends through stage 2's stride-2 transition so the C-narrow
+    # boundary tensor never materializes lane-padded. Identical math and
+    # trees at any level; each pack point requires even spatial dims
+    # (always true in training: ref mels are a fixed 500x80 crop) and
+    # silently stops extending otherwise.
+    packed_stages: int = 0
 
     @nn.compact
     def __call__(self, x, l2_norm: bool = True, train: bool = False):
@@ -203,7 +268,7 @@ class ResNetSE34V2(nn.Module):
         # the largest C=32 tensor in the graph), so the packed region starts
         # at the stem: pack the 1-channel input (cheap — nothing is padded
         # yet) and run stem + stage 1 entirely in the [H/2, W/2, 4C] layout.
-        pack0 = (self.packed_stage1
+        pack0 = (self.packed_stages >= 1
                  and x.shape[1] % 2 == 0 and x.shape[2] % 2 == 0)
         if pack0:
             x = _pack2x2(x)
@@ -217,18 +282,26 @@ class ResNetSE34V2(nn.Module):
 
         block_cls = nn.remat(SEBasicBlock) if self.remat else SEBasicBlock
         inplanes = self.num_filters[0]
+        packed = pack0  # is x currently in the _pack2x2 layout?
         for stage, (blocks, planes) in enumerate(zip(self.layers, self.num_filters)):
             stride = 1 if stage == 0 else 2
-            pack = pack0 and stage == 0
+            # extend the packed region across this stage's stride-2
+            # transition, or leave it before this stage's first block
+            extend = (packed and stage > 0 and stage < self.packed_stages
+                      and x.shape[1] % 2 == 0 and x.shape[2] % 2 == 0)
+            if packed and stage > 0 and not extend:
+                x = _unpack2x2(x)
+                packed = False
             for b in range(blocks):
                 s = stride if b == 0 else 1
                 down = b == 0 and (s != 1 or inplanes != planes)
                 x = block_cls(planes, stride=s, downsample=down, train=train,
-                              phases=4 if pack else 1,
+                              packed_transition=packed and s == 2,
+                              phases=4 if (packed and s != 2) else 1,
                               name=f"layer{stage + 1}_{b}")(x)
                 inplanes = planes
-            if pack:
-                x = _unpack2x2(x)
+        if packed:
+            x = _unpack2x2(x)
 
         # [B, H', W', C] -> flatten freq+channels per time step: [B, W', H'*C]
         B, H, W, C = x.shape

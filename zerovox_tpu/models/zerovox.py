@@ -43,7 +43,7 @@ class ZeroVox(nn.Module):
             n_mels=self.cfg.audio.num_mels,
             log_input=False,
             remat=m.remat_speaker,
-            packed_stage1=m.packed_speaker,
+            packed_stages=int(m.packed_speaker),
         )
         if m.decoder.kind == "fastspeech2":
             self.mel_decoder = FS2Decoder(
