@@ -279,6 +279,13 @@ class TestNemoLongTail:
         ("4675 Elm Dr,", "forty six seventy five elm drive"),
         ("2500 Pennsylvania Ave", "twenty five hundred pennsylvania avenue"),
         ("1200 Oak Blvd", "twelve hundred oak boulevard"),
+        # zero tens digit reads 'oh'; x000 reads as a plain number
+        ("105 Elm St.", "one oh five elm street"),
+        ("4607 Elm Dr,", "forty six oh seven elm drive"),
+        ("4000 Elm St.", "four thousand elm street"),
+        # a bare 3-4 digit split is a RANGE unless phone context/leading-0
+        ("400-7000 nm", "four hundred to seven thousand nm"),
+        ("call 555-1234", "call five five five one two three four"),
         ("Baker St is long", "baker street is long"),
         ("St. James", "saint james"),
         ("Dr. Smith", "doctor smith"),

@@ -111,6 +111,26 @@ class TestDataModule:
             assert not x["phoneme_mask"][i, :n].any()
             assert x["phoneme_mask"][i, n:].all()
 
+    def test_dataloader_order_invariant_to_worker_count(self, corpus_dir):
+        """The epoch-seeded batch sequence (order AND ref-mel crops) must be
+        identical at any num_workers — thread scheduling may not perturb
+        what a resumed run replays (train_dataloader docstring guarantee)."""
+        corpora = [{"language": "en", "path": {"preprocessed_path": "test_corpus"}}]
+        stats = {"pitch_min": 50.0, "pitch_max": 400.0,
+                 "energy_min": 0.1, "energy_max": 50.0}
+        seqs = []
+        for nw in (1, 4):
+            dm = SpeechDataModule(corpora, Symbols(PHONES, PUNCTS), stats=stats,
+                                  batch_size=4, num_workers=nw,
+                                  base_path=corpus_dir, ref_mel_len=64)
+            dm.prepare_data()
+            seqs.append(list(dm.train_dataloader(epoch=3)))
+        assert len(seqs[0]) == len(seqs[1]) > 1
+        for (x0, y0), (x1, y1) in zip(*seqs):
+            np.testing.assert_array_equal(x0["phoneme"], x1["phoneme"])
+            np.testing.assert_array_equal(x0["ref_mel"], x1["ref_mel"])
+            np.testing.assert_array_equal(y0["mel"], y1["mel"])
+
     def test_dataloader_yields_batches(self, datamodule):
         batches = list(datamodule.train_dataloader())
         assert len(batches) == 1  # 12 samples, batch 8 -> one full batch

@@ -65,10 +65,10 @@ def main(argv=None):
                              "unreachable)")
     args = parser.parse_args(argv)
 
-    if args.device == "cpu":
+    if args.device:
         import jax
 
-        jax.config.update("jax_platforms", "cpu")
+        jax.config.update("jax_platforms", args.device)
 
     with open(args.modelcfg) as f:
         modelcfg = yaml.load(f, Loader=yaml.FullLoader)

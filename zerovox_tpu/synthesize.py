@@ -466,17 +466,19 @@ class ZeroVoxTTS:
             wav_buf = fetch_buffer(wav_dev)
         mel_lens = np.asarray(jnp.sum(enc["duration_rounded"], axis=1))  # overlapped when eager
 
-        if int(mel_lens.max()) > T_spec:
+        # clamp BEFORE comparing: a predicted length beyond max_mel_len is
+        # served at the max bucket, which T_spec already is — an unclamped
+        # compare would redo the identical programs for nothing
+        eff_max = min(int(mel_lens.max()), self.cfg.model.max_mel_len)
+        if eff_max > T_spec:
             # under-speculation (rare): redo at the exact bucket
-            T_spec = pick_bucket(min(int(mel_lens.max()), self.cfg.model.max_mel_len),
-                                 MEL_BUCKETS)
+            T_spec = pick_bucket(eff_max, MEL_BUCKETS)
             mel, _, _ = self._jit_decode(
                 self._variables, enc["x"], enc["duration_rounded"], spkembs, T_spec)
             wav_dev = self._jit_vocode(self._meldec_variables, mel)
             eager = False
         if not eager:
-            T_exact = pick_bucket(min(int(mel_lens.max()), self.cfg.model.max_mel_len),
-                                  MEL_BUCKETS)
+            T_exact = pick_bucket(eff_max, MEL_BUCKETS)
             if T_exact < T_spec:
                 wav_dev = self._jit_slice_wav(wav_dev,
                                               n=T_exact * self._hop_length)

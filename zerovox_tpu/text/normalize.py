@@ -168,10 +168,17 @@ class _RuleBasedVerbalizer:
         text = re.sub(
             r"\(?\b(\d{3})\)?[-.\s](\d{3})[-.](\d{4})\b",
             lambda m: groups(m.group(1), m.group(2), m.group(3)), text)
-        # US 7-digit: 555-0199 (after dates so ranges like 1939-1945 survive
-        # via the year guard; a 3-4 digit split reads as a phone, not a range)
+        # US 7-digit: a bare 3-4 digit split is ambiguous with numeric
+        # ranges ('400-7000 nm'), so read it as a phone only when it cannot
+        # plausibly be a range: a phone-context word precedes, or the
+        # subscriber group starts with 0 ('555-0199' — no range ends in a
+        # leading-zero number). Everything else falls through to _ranges.
         text = re.sub(
-            r"\b(\d{3})[-.](\d{4})\b",
+            r"\b((?:phone|call|tel|telephone|fax|dial)\W{1,8})(\d{3})[-.](\d{4})\b",
+            lambda m: m.group(1) + groups(m.group(2), m.group(3)),
+            text, flags=re.IGNORECASE)
+        text = re.sub(
+            r"\b(\d{3})[-.](0\d{3})\b",
             lambda m: groups(m.group(1), m.group(2)), text)
         return text
 
@@ -210,19 +217,30 @@ class _RuleBasedVerbalizer:
     def _address_number(self, s: str) -> str:
         """House/address numbers read in pairs like NeMo: 123 -> 'one
         twenty three', 4675 -> 'forty six seventy five', 1200 -> 'twelve
-        hundred', 100 -> 'one hundred'."""
+        hundred', 100 -> 'one hundred', 105 -> 'one oh five', 4607 ->
+        'forty six oh seven', 4000 -> 'four thousand'."""
         n = int(s)
         num = self.num
+
+        def low_pair(lo: str) -> str:
+            # a zero tens digit reads 'oh five', not 'five'
+            if lo[0] == "0":
+                return f"oh {num.number_to_words(int(lo[1]))}"
+            return num.number_to_words(int(lo))
+
         if len(s) == 3:
             if s[1:] == "00":
                 return num.number_to_words(n)
-            return f"{num.number_to_words(int(s[0]))} {num.number_to_words(int(s[1:]))}"
+            return f"{num.number_to_words(int(s[0]))} {low_pair(s[1:])}"
         if len(s) == 4:
-            if s[2:] == "00":
-                return f"{num.number_to_words(int(s[:2]))} hundred"
+            # x00y (incl. x000) reads as a plain number ('four thousand
+            # seven') — check BEFORE the trailing-00 'hundred' rule so
+            # 4000 isn't read 'forty hundred'
             if s[1:3] == "00":
                 return num.number_to_words(n)
-            return f"{num.number_to_words(int(s[:2]))} {num.number_to_words(int(s[2:]))}"
+            if s[2:] == "00":
+                return f"{num.number_to_words(int(s[:2]))} hundred"
+            return f"{num.number_to_words(int(s[:2]))} {low_pair(s[2:])}"
         return num.number_to_words(n)
 
     def _acronyms(self, text: str) -> str:

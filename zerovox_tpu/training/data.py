@@ -267,27 +267,33 @@ class SpeechDataModule:
         rng = (np.random.default_rng((self._seed, epoch))
                if epoch is not None else self._rng)
         batches = self._batch_indices(rng)
+        # Per-batch child seeds drawn single-threaded up front, and batches
+        # yielded strictly in position order: worker threads therefore
+        # cannot perturb either the ref-mel crops (a shared Generator is
+        # not thread-safe) or the batch order (queue arrival is
+        # timing-dependent) — the resume guarantee above holds at any
+        # num_workers.
+        seeds = rng.integers(np.iinfo(np.int64).max, size=len(batches))
         q: queue.Queue = queue.Queue(maxsize=self.num_workers * 2)
-        stop = object()
 
         def worker(batch_list):
-            for bidx, n_pad in batch_list:
+            for pos, (bidx, n_pad) in batch_list:
                 items = [ds.load_item(int(i)) for i in bidx]
-                x, y = collate(items, rng, ref_mel_len=self._ref_mel_len)
+                x, y = collate(items, np.random.default_rng(seeds[pos]),
+                               ref_mel_len=self._ref_mel_len)
                 x["pad_items"] = n_pad
-                q.put((x, y))
-            q.put(stop)
+                q.put((pos, (x, y)))
 
         n_workers = min(self.num_workers, max(1, len(batches)))
-        shards = [batches[i::n_workers] for i in range(n_workers)]
+        indexed = list(enumerate(batches))
+        shards = [indexed[i::n_workers] for i in range(n_workers)]
         threads = [threading.Thread(target=worker, args=(s,), daemon=True) for s in shards]
         for t in threads:
             t.start()
 
-        done = 0
-        while done < n_workers:
-            item = q.get()
-            if item is stop:
-                done += 1
-                continue
-            yield item
+        pending: dict[int, tuple] = {}
+        for next_pos in range(len(batches)):
+            while next_pos not in pending:
+                pos, item = q.get()
+                pending[pos] = item
+            yield pending.pop(next_pos)
