@@ -86,6 +86,16 @@ class TestSynthesis:
         wav, phoneme, length = synth2.tts("style decoder test", spkemb)
         assert wav.shape[0] == length * synth2.cfg.audio.hop_size
 
+    def test_warmup_precompiles_batch_programs(self, synth):
+        """warmup(batch_sizes=) compiles the tts_batch programs so the
+        first production batch hits only cached programs."""
+        synth.warmup(texts=("warmup text",), batch_sizes=(2,))
+        n_before = synth._jit_encode._cache_size()
+        embs = np.zeros((2, 1, synth.cfg.model.emb_size), np.float32)
+        out = synth.tts_batch(["warmup text", "warm text two"], embs)
+        assert len(out) == 2
+        assert synth._jit_encode._cache_size() == n_before
+
 
 class TestStreaming:
     def test_stream_matches_full(self, synth):

@@ -626,11 +626,14 @@ class ZeroVoxTTS:
             yield from self.tts_stream(piece, spkemb, chunk_frames=chunk_frames)
 
     def warmup(self, texts=("This is a warmup utterance.",), spkemb=None,
-               mel_buckets=None):
+               mel_buckets=None, batch_sizes=()):
         """Compile the bucket programs ahead of serving. With `mel_buckets`
         (e.g. MEL_BUCKETS for full coverage) every given mel bucket's decode +
         vocode program is also compiled via forced durations, so production
-        traffic never hits a compile."""
+        traffic never hits a compile. `batch_sizes` additionally compiles
+        the `tts_batch` programs at those batch sizes (pass the sizes a
+        serving frontend will dispatch; on a serving mesh they round up to
+        the data-axis size, so one representative size usually suffices)."""
         if spkemb is None:
             spkemb = jnp.zeros((1, 1, self.cfg.model.emb_size), dtype=jnp.float32)
         for t in texts:
@@ -644,6 +647,11 @@ class ZeroVoxTTS:
                 dur = np.full(n, max(1, T // n), dtype=np.int32)
                 dur[-1] += T - int(dur.sum())  # land exactly in bucket T
                 self.tts(texts[0], spkemb, duration=dur)
+        for B in batch_sizes:
+            # host arrays, like production callers pass: a committed device
+            # array would key a different jit cache entry than the real call
+            embs = np.tile(np.asarray(spkemb, np.float32), (B, 1, 1))
+            self.tts_batch([texts[0]] * B, embs)
 
     def summary(self, depth: int = 1, ref_mel=None):
         """Parameter-count summary (reference uses torchinfo, synthesize.py:245-266)."""
