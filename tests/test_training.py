@@ -300,6 +300,25 @@ class TestTrainer:
                         jax.tree.leaves(restored.opt_state)):
             np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
 
+    def test_fit_profile_dir_writes_trace(self, datamodule, tmp_path):
+        """fit() with profile_dir captures a jax.profiler trace of the first
+        trained steps (zerovox-train --profile; SURVEY §5 tracing)."""
+        import os
+
+        cfg = tiny_cfg()
+        mesh = make_mesh(MeshConfig(data=8), devices=jax.devices()[:8])
+        prof = tmp_path / "trace"
+        tcfg = TrainerConfig(max_epochs=1, warmup_epochs=1, batch_size=8,
+                             out_folder=str(tmp_path / "m"), seed=0,
+                             profile_dir=str(prof), profile_steps=2)
+        trainer = Trainer(cfg, tcfg, steps_per_epoch=4, mesh=mesh)
+        batch = device_batch(next(iter(datamodule.train_dataloader())))
+        state = trainer.init_state(batch)
+        trainer.fit(lambda: iter([batch] * 4), state)
+
+        found = [os.path.join(r, f) for r, _, fs in os.walk(prof) for f in fs]
+        assert found, "no profiler trace files written"
+
     def test_fit_writes_checkpoints_without_per_step_sync(self, datamodule, tmp_path):
         """fit() epoch driver: loss falls, msgpack checkpoints + meta appear,
         and per-step logging is gated (host step counter, no int(state.step)

@@ -64,6 +64,11 @@ def get_args(argv=None):
                              "backward: measured ~7-9%% SLOWER on v5e but "
                              "frees the stored stem activations (memory "
                              "lever for very large batches; PERFORMANCE.md)")
+    parser.add_argument("--profile", type=str, default=None, metavar="DIR",
+                        help="capture a jax.profiler trace of the first "
+                             "trained steps into DIR (view with "
+                             "tensorboard --logdir DIR; compile excluded)")
+    parser.add_argument("--profile-steps", type=int, default=10)
     parser.add_argument("--packed-speaker", type=int, nargs="?", const=1,
                         default=0, choices=[0, 1, 2],
                         help="2x2 space-to-depth lane packing of the speaker "
@@ -216,6 +221,7 @@ def main(argv=None):
         checkpoint_format="orbax" if args.resume else args.checkpoint_format,
         keep_checkpoints=args.keep_checkpoints,
         checkpoint_every_n_epochs=args.checkpoint_every_n_epochs,
+        profile_dir=args.profile, profile_steps=args.profile_steps,
     )
     trainer = Trainer(cfg, tcfg, steps_per_epoch=datamodule.steps_per_epoch(), mesh=mesh)
 

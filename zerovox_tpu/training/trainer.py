@@ -150,6 +150,11 @@ class TrainerConfig:
     precision: str = "32"  # "32" | "bf16-mixed"
     checkpoint_format: str = "msgpack"  # "msgpack" | "orbax" (sharded TrainState)
     seed: int = 42
+    # jax.profiler trace capture (view with tensorboard / xprof): traces
+    # `profile_steps` steps of the first trained epoch, starting AFTER the
+    # first step so the compile isn't in the capture window
+    profile_dir: str | None = None
+    profile_steps: int = 10
 
 
 class Trainer:
@@ -305,6 +310,8 @@ class Trainer:
         os.makedirs(ckpt_root, exist_ok=True)
 
         host_step = getattr(self, "_host_step", 0)
+        profile_after = (host_step + 1 if self.tcfg.profile_dir else None)
+        tracing = False
         for epoch in range(start_epoch, self.tcfg.max_epochs):
             t0 = time.time()
             # device scalars accumulated without blocking; fetched in one
@@ -314,11 +321,21 @@ class Trainer:
             checked = 0
             for batch in (batches_per_epoch(epoch) if loader_takes_epoch
                           else batches_per_epoch()):
+                if profile_after is not None and host_step == profile_after:
+                    jax.profiler.start_trace(self.tcfg.profile_dir)
+                    tracing = True
                 batch = device_batch(batch)
                 batch = shard_batch(batch, self.mesh)
                 state, losses = self._train_step(state, batch, rng)
                 host_step += 1
                 pending.append(losses)
+                if tracing and host_step >= profile_after + self.tcfg.profile_steps:
+                    jax.block_until_ready(losses)
+                    jax.profiler.stop_trace()
+                    tracing = False
+                    profile_after = None
+                    print(f"profiler trace ({self.tcfg.profile_steps} steps) "
+                          f"written to {self.tcfg.profile_dir}")
                 if host_step % self.tcfg.log_every_n_steps == 0:
                     # one batched device_get of EVERY step since the last
                     # gate, so a NaN at any step (not just every Nth) is
@@ -343,6 +360,8 @@ class Trainer:
             self._check_finite(epoch_losses[checked:], host_step)
             self._host_step = host_step
             self._on_epoch_end(epoch, epoch_losses, state, ckpt_root, t0)
+        if tracing:  # run shorter than profile window
+            jax.profiler.stop_trace()
         return state
 
     @staticmethod
