@@ -64,6 +64,11 @@ def get_args(argv=None):
                              "backward: measured ~7-9%% SLOWER on v5e but "
                              "frees the stored stem activations (memory "
                              "lever for very large batches; PERFORMANCE.md)")
+    parser.add_argument("--optim-dtype", default="f32", choices=["f32", "bf16"],
+                        help="second-moment storage dtype: bf16 halves the "
+                             "optimizer's nu HBM stream (the AdamW update "
+                             "is bandwidth-bound; ~0.2%% step-size noise, "
+                             "requires betas[0]=0)")
     parser.add_argument("--profile", type=str, default=None, metavar="DIR",
                         help="capture a jax.profiler trace of the first "
                              "trained steps into DIR (view with "
@@ -222,6 +227,7 @@ def main(argv=None):
         keep_checkpoints=args.keep_checkpoints,
         checkpoint_every_n_epochs=args.checkpoint_every_n_epochs,
         profile_dir=args.profile, profile_steps=args.profile_steps,
+        optim_dtype=args.optim_dtype,
     )
     trainer = Trainer(cfg, tcfg, steps_per_epoch=datamodule.steps_per_epoch(), mesh=mesh)
 

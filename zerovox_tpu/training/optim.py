@@ -36,27 +36,40 @@ class ScaleByNuState(NamedTuple):
     nu: optax.Updates
 
 
-def _scale_by_adam_no_mu(b2: float, eps: float) -> optax.GradientTransformation:
+def _scale_by_adam_no_mu(b2: float, eps: float,
+                         state_dtype=None) -> optax.GradientTransformation:
     """optax.scale_by_adam(b1=0, ...) without materializing mu.
 
     With b1=0, mu == g and the bias correction (1 - b1**t) == 1, so
     update = g / (sqrt(nu / (1 - b2**t)) + eps) — identical to
     optax.scale_by_adam's result, minus one params-sized read+write pair
     per step (and params-sized bytes of optimizer HBM).
+
+    `state_dtype=jnp.bfloat16` stores nu in bf16 (another params-sized
+    read+write pair halved; the AdamW update is a pure HBM-bandwidth floor,
+    docs/PERFORMANCE.md roofline). The moment update itself always computes
+    in f32; only the stored value is rounded. nu is a smooth EMA of g², so
+    bf16's ~0.4% relative rounding enters the update through sqrt(nu) as
+    ~0.2% step-size noise — unlike a bf16 FIRST moment, it does not bias
+    the update direction. Opt-in (`zerovox-train --optim-dtype bf16`).
     """
 
     def init_fn(params):
-        nu = jax.tree.map(jnp.zeros_like, params)
+        nu = jax.tree.map(
+            lambda p: jnp.zeros_like(p, dtype=state_dtype or p.dtype), params)
         return ScaleByNuState(count=jnp.zeros([], jnp.int32), nu=nu)
 
     def update_fn(updates, state, params=None):
         del params
         count = optax.safe_increment(state.count)
-        nu = jax.tree.map(
-            lambda n, g: b2 * n + (1.0 - b2) * (g * g), state.nu, updates)
+        nu32 = jax.tree.map(
+            lambda n, g: b2 * n.astype(jnp.float32) + (1.0 - b2) * (g * g),
+            state.nu, updates)
         bc = 1.0 - b2 ** count.astype(jnp.float32)
         updates = jax.tree.map(
-            lambda g, n: g / (jnp.sqrt(n / bc) + eps), updates, nu)
+            lambda g, n: g / (jnp.sqrt(n / bc) + eps), updates, nu32)
+        nu = (nu32 if state_dtype is None else
+              jax.tree.map(lambda n, s: n.astype(s.dtype), nu32, state.nu))
         return updates, ScaleByNuState(count=count, nu=nu)
 
     return optax.GradientTransformation(init_fn, update_fn)
@@ -90,16 +103,24 @@ def make_optimizer(
     betas=(0.0, 0.99),
     eps: float = 1e-9,
     grad_clip: float = 1.0,
+    state_dtype: str = "f32",
 ) -> optax.GradientTransformation:
+    """`state_dtype`: 'f32' (default) or 'bf16' — storage dtype of the
+    second moment in the mu-free path (see _scale_by_adam_no_mu). Ignored
+    (with a warning) when betas[0] != 0 routes to stock optax.adamw."""
+    sd = jnp.bfloat16 if state_dtype == "bf16" else None
     if betas[0] == 0.0:
         # mu-free lowering (exact same math; see module docstring). Mirrors
         # optax.adamw's transform order: scale_by_adam -> weight decay -> lr.
         return optax.chain(
             optax.clip_by_global_norm(grad_clip),
-            _scale_by_adam_no_mu(b2=betas[1], eps=eps),
+            _scale_by_adam_no_mu(b2=betas[1], eps=eps, state_dtype=sd),
             optax.add_decayed_weights(weight_decay),
             optax.scale_by_learning_rate(learning_rate),
         )
+    if sd is not None:
+        print("*** warning: --optim-dtype bf16 requires betas[0] == 0 "
+              "(mu-free path); using full-precision optax.adamw")
     return optax.chain(
         optax.clip_by_global_norm(grad_clip),
         optax.adamw(

@@ -155,6 +155,11 @@ class TrainerConfig:
     # first step so the compile isn't in the capture window
     profile_dir: str | None = None
     profile_steps: int = 10
+    # second-moment storage dtype ('f32' | 'bf16'): the AdamW update is a
+    # pure HBM-bandwidth floor (PERFORMANCE.md roofline), so bf16 nu halves
+    # another params-sized read+write pair; ~0.2% step-size noise, no
+    # direction bias (see optim._scale_by_adam_no_mu)
+    optim_dtype: str = "f32"
 
 
 class Trainer:
@@ -179,6 +184,7 @@ class Trainer:
             betas=tuple(cfg.training.betas),
             eps=cfg.training.eps,
             grad_clip=cfg.training.grad_clip,
+            state_dtype=tcfg.optim_dtype,
         )
         self._labels_needed = tcfg.train_decoder_only
         self.tx = base_tx
