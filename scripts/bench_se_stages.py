@@ -33,6 +33,9 @@ def main():
     ap.add_argument("--batch", type=int, default=8)
     ap.add_argument("--ref-len", type=int, default=344)
     ap.add_argument("--out-json", default=None)
+    ap.add_argument("--encoder-only", action="store_true",
+                    help="skip per-stage components; measure only the "
+                         "whole-encoder rows (fast A/B of packing variants)")
     args = ap.parse_args()
 
     from zerovox_tpu.utils.compile_cache import enable_compile_cache
@@ -144,6 +147,8 @@ def main():
     }
 
     results: list[dict] = []
+    if args.encoder_only:
+        mods = {}
     for name, mod in mods.items():
         x_np = rng.normal(size=shapes[name]).astype(np.float32)
         with jax.default_device(jax.devices("cpu")[0]):
@@ -191,19 +196,24 @@ def main():
             lambda g: jax.tree.leaves(g)[0].reshape(-1)[0], results)
 
     # same encoder with the production packed_speaker levels (identical
-    # trees, so the exact same device params/stats apply)
-    for lvl in (1, 2):
+    # trees, so the exact same device params/stats apply); "stemfull"
+    # additionally packs the stem conv itself (packed_stem=True — the
+    # pre-round-3b behavior, kept for the A/B record)
+    variants = [(1, False, "encoder_packed1"), (2, False, "encoder_packed2"),
+                (1, True, "encoder_packed1_stemfull")]
+    for lvl, pstem, vname in variants:
         enc_p = ResNetSE34V2(layers=LAYERS, num_filters=FILTERS, n_out=528,
-                             encoder_type="ASP", n_mels=80, packed_stages=lvl)
+                             encoder_type="ASP", n_mels=80, packed_stages=lvl,
+                             packed_stem=pstem)
 
         def enc_p_fwd(p, x, _e=enc_p):
             out, _ = _e.apply({"params": p, "batch_stats": stats}, x,
                               train=True, mutable=["batch_stats"])
             return out
 
-        measure(f"encoder_packed{lvl}_fwd", enc_p_fwd, (hp, hmel),
+        measure(f"{vname}_fwd", enc_p_fwd, (hp, hmel),
                 lambda o: o.reshape(-1)[0], results)
-        measure(f"encoder_packed{lvl}_grad",
+        measure(f"{vname}_grad",
                 lambda p, x, _f=enc_p_fwd: jax.grad(
                     lambda q, y: _f(q, y).sum().astype(jnp.float32),
                     argnums=(0, 1))(p, x),

@@ -84,6 +84,8 @@ def main():
     ap.add_argument("--txt-len", type=int, default=96)
     ap.add_argument("--mel-len", type=int, default=768)
     ap.add_argument("--config", default=None)
+    ap.add_argument("--packed-speaker", type=int, default=0, choices=(0, 1, 2),
+                    help="speaker-encoder 2x2 lane packing level")
     ap.add_argument("--out-json", default=None)
     args = ap.parse_args()
 
@@ -106,6 +108,11 @@ def main():
             cfg = ZeroVoxConfig.from_dict(yaml.safe_load(f))
     else:
         cfg = ZeroVoxConfig()
+    if args.packed_speaker:
+        import dataclasses
+
+        cfg = dataclasses.replace(cfg, model=dataclasses.replace(
+            cfg.model, packed_speaker=args.packed_speaker))
 
     B = args.batch
     rng = np.random.default_rng(0)

@@ -61,7 +61,8 @@ def bench_one(B: int, args, cfg, mesh) -> dict:
     batch = synth_batch(B, args.txt_len, args.mel_len, cfg.audio.num_mels, rng)
     tcfg = TrainerConfig(max_epochs=1, batch_size=B,
                          out_folder="/tmp/zvx_scaling",
-                         precision=args.precision)
+                         precision=args.precision,
+                         optim_dtype=args.optim_dtype)
     trainer = Trainer(cfg, tcfg, steps_per_epoch=100, mesh=mesh)
     state = trainer.init_state(batch)
     sb = shard_batch(batch, mesh)
@@ -116,6 +117,12 @@ def main():
     ap.add_argument("--remat-speaker", action="store_true",
                     help="rematerialize speaker-encoder blocks (measured "
                          "slower on v5e; memory lever only)")
+    ap.add_argument("--optim-dtype", default="f32", choices=("f32", "bf16"),
+                    help="second-moment optimizer state dtype (bf16 halves "
+                         "AdamW's HBM streaming; see zerovox-train flag)")
+    ap.add_argument("--packed-speaker", type=int, default=0, choices=(0, 1, 2),
+                    help="speaker-encoder 2x2 lane packing level "
+                         "(checkpoint-compatible; see docs/PERFORMANCE.md)")
     ap.add_argument("--config", default=None,
                     help="modelcfg yaml (default: built-in tts_medium); use "
                          "configs/tts_medium_tpu.yaml for the lane-aligned "
@@ -139,7 +146,7 @@ def main():
             cfg = ZeroVoxConfig.from_dict(yaml.safe_load(f))
     else:
         cfg = ZeroVoxConfig()  # tts_medium
-    if args.remat or args.remat_speaker:
+    if args.remat or args.remat_speaker or args.packed_speaker:
         import dataclasses
 
         mcfg = cfg.model
@@ -147,6 +154,8 @@ def main():
             mcfg = dataclasses.replace(mcfg, remat=True)
         if args.remat_speaker:
             mcfg = dataclasses.replace(mcfg, remat_speaker=True)
+        if args.packed_speaker:
+            mcfg = dataclasses.replace(mcfg, packed_speaker=args.packed_speaker)
         cfg = dataclasses.replace(cfg, model=mcfg)
     mesh = make_mesh(MeshConfig(data=1), devices=jax.devices()[:1])
 

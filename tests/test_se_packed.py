@@ -22,11 +22,12 @@ FILTERS = (8, 16, 32, 64)
 N_MELS = 16
 
 
-def _models(packed_stages=1):
+def _models(packed_stages=1, packed_stem=False):
     kw = dict(layers=LAYERS, num_filters=FILTERS, n_out=24,
               encoder_type="ASP", n_mels=N_MELS, log_input=False)
     return (ResNetSE34V2(**kw, packed_stages=0),
-            ResNetSE34V2(**kw, packed_stages=packed_stages))
+            ResNetSE34V2(**kw, packed_stages=packed_stages,
+                         packed_stem=packed_stem))
 
 
 def _init(model, T=20, B=2, seed=0):
@@ -54,8 +55,9 @@ class TestPackedSpeakerEncoder:
 
     @pytest.mark.parametrize("train", [False, True])
     @pytest.mark.parametrize("stages", [1, 2])
-    def test_forward_parity(self, train, stages):
-        base, packed = _models(stages)
+    @pytest.mark.parametrize("stem", [False, True])
+    def test_forward_parity(self, train, stages, stem):
+        base, packed = _models(stages, packed_stem=stem)
         x, variables = _init(base)
         kw = dict(train=train)
         if train:
@@ -72,8 +74,9 @@ class TestPackedSpeakerEncoder:
         np.testing.assert_allclose(np.asarray(y0), np.asarray(y1), atol=2e-5)
 
     @pytest.mark.parametrize("stages", [1, 2])
-    def test_grad_parity(self, stages):
-        base, packed = _models(stages)
+    @pytest.mark.parametrize("stem", [False, True])
+    def test_grad_parity(self, stages, stem):
+        base, packed = _models(stages, packed_stem=stem)
         x, variables = _init(base)
         params, stats = variables["params"], variables["batch_stats"]
 

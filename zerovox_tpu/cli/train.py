@@ -68,19 +68,23 @@ def get_args(argv=None):
                         help="second-moment storage dtype: bf16 halves the "
                              "optimizer's nu HBM stream (the AdamW update "
                              "is bandwidth-bound; ~0.2%% step-size noise, "
-                             "requires betas[0]=0)")
+                             "requires betas[0]=0). Measured -6.5%% step "
+                             "time at B=64 but pathological with the packed "
+                             "speaker encoder at B=8 — use at batch >= 32 "
+                             "(PERFORMANCE.md)")
     parser.add_argument("--profile", type=str, default=None, metavar="DIR",
                         help="capture a jax.profiler trace of the first "
                              "trained steps into DIR (view with "
                              "tensorboard --logdir DIR; compile excluded)")
     parser.add_argument("--profile-steps", type=int, default=10)
     parser.add_argument("--packed-speaker", type=int, nargs="?", const=1,
-                        default=0, choices=[0, 1, 2],
+                        default=None, choices=[0, 1, 2],
                         help="2x2 space-to-depth lane packing of the speaker "
                              "encoder's first N stages (C=32 pads to 128 "
                              "lanes; 1 = stem+stage1, 2 = through stage 2's "
                              "stride-2 transition; identical math + "
-                             "checkpoints at any level)")
+                             "checkpoints at any level). Default: 1 on TPU "
+                             "(-19%% step time measured on v5e), 0 elsewhere")
     parser.add_argument("--max-epochs", type=int, default=40)
     parser.add_argument("--warmup-epochs", type=int, default=2)
     parser.add_argument("--batch-size", type=int, default=24,
@@ -183,6 +187,12 @@ def main(argv=None):
     modelcfg = merge_stats(modelcfg, corpora, base_path)
 
     cfg = ZeroVoxConfig.from_dict(modelcfg)
+    if args.packed_speaker is None:
+        # lane packing wins on TPU (docs/PERFORMANCE.md round-3b: -19% step
+        # time at B=8) but is extra FLOPs on CPU/GPU; checkpoint-neutral
+        import jax
+
+        args.packed_speaker = 1 if jax.default_backend() == "tpu" else 0
     if args.remat or args.remat_speaker or args.packed_speaker:
         import dataclasses
 

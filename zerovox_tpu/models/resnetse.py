@@ -248,6 +248,15 @@ class ResNetSE34V2(nn.Module):
     # (always true in training: ref mels are a fixed 500x80 crop) and
     # silently stops extending otherwise.
     packed_stages: int = 0
+    # Run the stem conv itself in the packed layout too (kernel transforms
+    # to [3,3,4,128]; params stay canonical [3,3,1,32]). Measured on the
+    # v5e (docs/bench_se_stages_r3c.json): packing the stem is REQUIRED
+    # for the level-1 win — running the stem unpacked and space-to-depth'ing
+    # its [B,80,T,32] output hits an XLA layout pathology (encoder fwd+grad
+    # 29.2 ms vs 9.3 ms with the packed stem vs 15.5 unpacked), even though
+    # the isolated stem rows suggested the opposite. Identical math and
+    # trees either way; the knob stays for the A/B record.
+    packed_stem: bool = True
 
     @nn.compact
     def __call__(self, x, l2_norm: bool = True, train: bool = False):
@@ -264,21 +273,24 @@ class ResNetSE34V2(nn.Module):
         # [B, H=n_mels, W=T, C=1] (freq as height, time as width, as in torch)
         x = jnp.transpose(x, (0, 2, 1))[..., None]
 
-        # The stem shares stage 1's C=32 lane-padding disease (its output is
-        # the largest C=32 tensor in the graph), so the packed region starts
-        # at the stem: pack the 1-channel input (cheap — nothing is padded
-        # yet) and run stem + stage 1 entirely in the [H/2, W/2, 4C] layout.
+        # The packed region covers the stem + stage 1 (see packed_stem for
+        # the measured reason the stem must be inside it): pack the
+        # 1-channel input (cheap — nothing is padded yet) and run
+        # stem + stage 1 entirely in the [H/2, W/2, 4C] layout.
         pack0 = (self.packed_stages >= 1
                  and x.shape[1] % 2 == 0 and x.shape[2] % 2 == 0)
-        if pack0:
+        stem_packed = pack0 and self.packed_stem
+        if stem_packed:
             x = _pack2x2(x)
         stem_kw = (dict(kernel_transform=_pack_kernel, kernel_in=1,
-                        bias_phases=4) if pack0 else {})
+                        bias_phases=4) if stem_packed else {})
         x = Conv2d(self.num_filters[0], (3, 3), padding=(1, 1), use_bias=True,
                    name="conv1")(x, **stem_kw)
         x = jax.nn.relu(x)
         x = BatchNorm(self.num_filters[0], name="bn1")(
-            x, use_running_average=not train, phases=4 if pack0 else 1)
+            x, use_running_average=not train, phases=4 if stem_packed else 1)
+        if pack0 and not stem_packed:
+            x = _pack2x2(x)
 
         block_cls = nn.remat(SEBasicBlock) if self.remat else SEBasicBlock
         inplanes = self.num_filters[0]
