@@ -65,10 +65,22 @@ def main(argv=None):
                              "unreachable)")
     args = parser.parse_args(argv)
 
-    if args.device:
+    if args.device == "cpu":
         import jax
 
-        jax.config.update("jax_platforms", args.device)
+        jax.config.update("jax_platforms", "cpu")
+    elif args.device == "tpu":
+        import jax
+
+        # TPU plugins can register under another platform name (the axon
+        # tunnel registers as 'axon' yet exposes TPU devices through the
+        # default resolution); forcing jax_platforms='tpu' selects the
+        # standard libtpu backend, which then fails. Let jax pick the
+        # default backend and just verify it actually is a TPU.
+        if jax.default_backend() != "tpu":
+            raise SystemExit(
+                "--device tpu: no TPU backend available "
+                f"(default backend is {jax.default_backend()!r})")
 
     with open(args.modelcfg) as f:
         modelcfg = yaml.load(f, Loader=yaml.FullLoader)
