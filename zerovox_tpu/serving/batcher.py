@@ -1,0 +1,137 @@
+"""Dynamic micro-batching: group concurrent TTS requests into one XLA program.
+
+Requests arrive on arbitrary threads via `submit` and resolve through
+futures; a single dispatch thread drains the queue into batches bounded by
+`max_batch` (the largest precompiled `tts_batch` program — see
+`ZeroVoxTTS.warmup(batch_sizes=)`) and `max_delay_ms` (how long the first
+request in a window may wait for co-riders). The TPU executes one padded
+static-bucket program per window (synthesize.py `tts_batch`), which is the
+whole point: B concurrent requests cost ~one batch dispatch, not B
+sequential batch-1 dispatches.
+
+The engine is driven from the dispatch thread only — `ZeroVoxTTS` makes no
+thread-safety promises, and a single dispatcher also keeps device programs
+serialized (one XLA program in flight at a time keeps latency predictable).
+"""
+
+from __future__ import annotations
+
+import queue
+import threading
+import time
+from concurrent.futures import Future
+from dataclasses import dataclass, field
+
+
+@dataclass
+class _Request:
+    text: str
+    spkemb: object  # [1, 1, emb] speaker embedding (np or jax array)
+    future: Future = field(default_factory=Future)
+
+
+@dataclass
+class BatcherStats:
+    """Counters exposed via the /health endpoint (all under the lock of the
+    dispatch thread — read-only snapshots elsewhere)."""
+
+    requests: int = 0
+    batches: int = 0
+    max_batch_seen: int = 0
+    errors: int = 0
+    synth_wall_s: float = 0.0
+
+    def as_dict(self) -> dict:
+        d = {"requests": self.requests, "batches": self.batches,
+             "max_batch_seen": self.max_batch_seen, "errors": self.errors,
+             "synth_wall_s": round(self.synth_wall_s, 3)}
+        if self.batches:
+            d["mean_batch_size"] = round(self.requests / self.batches, 2)
+        return d
+
+
+class DynamicBatcher:
+    """Queue + dispatch thread turning concurrent `submit` calls into
+    `engine.tts_batch` windows."""
+
+    _STOP = object()
+
+    def __init__(self, engine, max_batch: int = 8, max_delay_ms: float = 20.0):
+        assert max_batch >= 1
+        self._engine = engine
+        self._max_batch = max_batch
+        self._max_delay_s = max_delay_ms / 1000.0
+        self._q: queue.SimpleQueue = queue.SimpleQueue()
+        self.stats = BatcherStats()
+        self._closed = False
+        self._thread = threading.Thread(target=self._loop, daemon=True,
+                                        name="zerovox-batcher")
+        self._thread.start()
+
+    def submit(self, text: str, spkemb) -> Future:
+        """Enqueue one utterance; the future resolves to (wav, mel_len)."""
+        if self._closed:
+            raise RuntimeError("batcher is closed")
+        req = _Request(text=text, spkemb=spkemb)
+        self._q.put(req)
+        return req.future
+
+    def close(self, timeout: float = 10.0) -> None:
+        """Drain-and-stop: queued requests still complete."""
+        if self._closed:
+            return
+        self._closed = True
+        self._q.put(self._STOP)
+        self._thread.join(timeout)
+
+    # ------------------------------------------------------------------
+
+    def _collect_window(self, first: _Request) -> tuple[list[_Request], bool]:
+        """Gather up to max_batch requests within max_delay of `first`."""
+        batch = [first]
+        deadline = time.monotonic() + self._max_delay_s
+        stop = False
+        while len(batch) < self._max_batch:
+            remaining = deadline - time.monotonic()
+            if remaining <= 0:
+                break
+            try:
+                item = self._q.get(timeout=remaining)
+            except queue.Empty:
+                break
+            if item is self._STOP:
+                stop = True
+                break
+            batch.append(item)
+        return batch, stop
+
+    def _dispatch(self, batch: list[_Request]) -> None:
+        import numpy as np
+
+        texts = [r.text for r in batch]
+        spkembs = np.concatenate(
+            [np.asarray(r.spkemb, np.float32) for r in batch], axis=0)
+        t0 = time.monotonic()
+        try:
+            outs = self._engine.tts_batch(texts, spkembs)
+        except Exception as e:  # noqa: BLE001 — forwarded to every caller
+            self.stats.errors += len(batch)
+            for r in batch:
+                r.future.set_exception(e)
+            return
+        self.stats.synth_wall_s += time.monotonic() - t0
+        self.stats.requests += len(batch)
+        self.stats.batches += 1
+        self.stats.max_batch_seen = max(self.stats.max_batch_seen, len(batch))
+        for r, (wav, mel_len) in zip(batch, outs):
+            r.future.set_result((wav, mel_len))
+
+    def _loop(self) -> None:
+        while True:
+            item = self._q.get()
+            if item is self._STOP:
+                return
+            batch, stop = self._collect_window(item)
+            self._dispatch(batch)
+            if stop:
+                return
