@@ -17,8 +17,10 @@ import wave
 import numpy as np
 import pytest
 
-from zerovox_tpu.serving import DynamicBatcher, VoiceRegistry, make_server
-from zerovox_tpu.serving.server import _wav_bytes, serve_in_thread
+from zerovox_tpu.serving import (STREAM_EOS, DynamicBatcher, VoiceRegistry,
+                                 make_server)
+from zerovox_tpu.serving.server import (_pcm16_bytes, _wav_bytes,
+                                        _wav_stream_header, serve_in_thread)
 
 
 class FakeEngine:
@@ -38,6 +40,13 @@ class FakeEngine:
         self.calls.append(len(texts))
         return [(np.full(8, float(len(t)), np.float32), len(t))
                 for t in texts]
+
+    def tts_stream_text(self, text, spkemb, chunk_frames=96):
+        # one chunk per word, value = word length (deterministic)
+        for w in text.split():
+            if w == "FAIL":
+                raise RuntimeError("stream boom")
+            yield np.full(4, float(len(w)), np.float32)
 
 
 EMB = np.zeros((1, 1, 4), np.float32)
@@ -95,6 +104,83 @@ class TestDynamicBatcher:
         b.close()
         with pytest.raises(RuntimeError):
             b.submit("a", EMB)
+        with pytest.raises(RuntimeError):
+            b.submit_stream("a", EMB)
+
+
+class TestStreamDispatch:
+    def test_stream_chunks_then_eos(self):
+        b = DynamicBatcher(FakeEngine(), max_batch=4, max_delay_ms=5)
+        try:
+            q = b.submit_stream("one four ab", EMB)
+            vals = []
+            while True:
+                item = q.get(timeout=5)
+                if item is STREAM_EOS:
+                    break
+                vals.append(item[0])
+            assert vals == [3.0, 4.0, 2.0]
+            assert b.stats.streams == 1 and b.stats.stream_chunks == 3
+        finally:
+            b.close()
+
+    def test_first_chunk_before_synthesis_finishes(self):
+        # the defining property of streaming: chunk 1 is consumable while
+        # the engine is still producing. The generator blocks on an event
+        # that only the CONSUMER sets after receiving chunk 1 — if chunks
+        # were delivered only at end-of-stream this would deadlock (hence
+        # the timeouts).
+        release = threading.Event()
+
+        class Eng(FakeEngine):
+            def tts_stream_text(self, text, spkemb, chunk_frames=96):
+                yield np.full(4, 1.0, np.float32)
+                assert release.wait(10), "consumer never saw chunk 1"
+                yield np.full(4, 2.0, np.float32)
+
+        b = DynamicBatcher(Eng(), max_batch=4, max_delay_ms=5)
+        try:
+            q = b.submit_stream("x", EMB)
+            first = q.get(timeout=5)
+            assert first[0] == 1.0
+            release.set()
+            assert q.get(timeout=5)[0] == 2.0
+            assert q.get(timeout=5) is STREAM_EOS
+        finally:
+            b.close()
+
+    def test_stream_error_propagates_after_partial(self):
+        b = DynamicBatcher(FakeEngine(), max_batch=4, max_delay_ms=5)
+        try:
+            q = b.submit_stream("ok FAIL never", EMB)
+            assert q.get(timeout=5)[0] == 2.0  # 'ok' chunk made it out
+            err = q.get(timeout=5)
+            assert isinstance(err, RuntimeError) and "stream boom" in str(err)
+            assert b.stats.errors == 1
+        finally:
+            b.close()
+
+    def test_streams_serialize_with_batches(self):
+        # batch requests queued behind a stream (and vice versa) all
+        # complete; a stream pulled mid-window becomes the holdover item
+        eng = FakeEngine(delay_s=0.05)
+        b = DynamicBatcher(eng, max_batch=8, max_delay_ms=50)
+        try:
+            futs = [b.submit("yy", EMB) for _ in range(3)]
+            q = b.submit_stream("a bb", EMB)
+            futs += [b.submit("zzz", EMB) for _ in range(2)]
+            for f in futs:
+                f.result(timeout=10)
+            got = []
+            while True:
+                item = q.get(timeout=10)
+                if item is STREAM_EOS:
+                    break
+                got.append(item[0])
+            assert got == [1.0, 2.0]
+            assert b.stats.requests == 5 and b.stats.streams == 1
+        finally:
+            b.close()
 
 
 class TestWavFraming:
@@ -222,6 +308,40 @@ class TestHTTPServer:
         # at least one window grouped >1 request
         assert server.batcher.stats.max_batch_seen >= 2
         assert server.batcher.stats.batches - before < len(texts)
+
+    def test_stream_tts_chunked_wav(self, server, synth):
+        import http.client
+
+        text = "First sentence here. Second sentence follows. A third one."
+        host, port = server.server_address[:2]
+        conn = http.client.HTTPConnection(host, port, timeout=300)
+        try:
+            conn.request("POST", "/tts", json.dumps(
+                {"text": text, "voice": "alice", "stream": True,
+                 "chunk_frames": 32}),
+                headers={"Content-Type": "application/json"})
+            resp = conn.getresponse()
+            assert resp.status == 200
+            assert resp.getheader("Content-Type") == "audio/wav"
+            assert resp.getheader("Transfer-Encoding") == "chunked"
+            assert resp.getheader("X-Stream-Chunk-Frames") == "32"
+            body = resp.read()
+        finally:
+            conn.close()
+
+        header = _wav_stream_header(synth.cfg.audio.sampling_rate)
+        assert body[: len(header)] == header
+        assert body[:4] == b"RIFF" and body[4:8] == b"\xff\xff\xff\xff"
+        pcm = body[len(header):]
+
+        # byte-exact vs the direct streaming API with the same voice/params
+        direct = b"".join(
+            _pcm16_bytes(c) for c in synth.tts_stream_text(
+                text, server.voices.get("alice"), chunk_frames=32))
+        assert pcm == direct
+        assert len(pcm) > 0 and len(pcm) % 2 == 0
+        assert server.batcher.stats.streams >= 1
+        assert server.batcher.stats.stream_chunks >= 2
 
     def test_unknown_voice_400(self, server):
         with pytest.raises(urllib.error.HTTPError) as ei:

@@ -9,6 +9,9 @@ are precompiled at startup so the first request is already warm.
     zerovox-serve --model <dir> --meldec-model <dir> --port 8000
     curl -X POST localhost:8000/tts \
          -d '{"text": "Hello there.", "voice": "en_sarah"}' -o out.wav
+    # streaming (chunked-transfer WAV, first audio after one vocoder window):
+    curl -N -X POST localhost:8000/tts \
+         -d '{"text": "...", "voice": "en_sarah", "stream": true}' -o out.wav
 """
 
 from __future__ import annotations
@@ -99,6 +102,10 @@ def main(argv=None):
         sizes = sorted({1, args.max_batch, max(1, args.max_batch // 2)})
         print(f"warming up tts_batch programs for batch sizes {sizes}...")
         synth.warmup(spkemb=voices.get(None), batch_sizes=tuple(sizes))
+        # also compile the streaming chunk programs at the default window
+        for _ in synth.tts_stream("This is a warmup utterance.",
+                                  voices.get(None)):
+            pass
 
     srv = make_server(synth, voices, host=args.host, port=args.port,
                       max_batch=args.max_batch,

@@ -9,7 +9,9 @@ mesh row sharding), so one engine saturates a chip or a data-axis mesh slice
 instead of running sequential batch-1 programs.
 """
 
-from zerovox_tpu.serving.batcher import BatcherStats, DynamicBatcher
+from zerovox_tpu.serving.batcher import (STREAM_EOS, BatcherStats,
+                                         DynamicBatcher)
 from zerovox_tpu.serving.server import VoiceRegistry, make_server
 
-__all__ = ["BatcherStats", "DynamicBatcher", "VoiceRegistry", "make_server"]
+__all__ = ["STREAM_EOS", "BatcherStats", "DynamicBatcher", "VoiceRegistry",
+           "make_server"]

@@ -30,6 +30,23 @@ class _Request:
     future: Future = field(default_factory=Future)
 
 
+#: end-of-stream sentinel placed on a _StreamRequest's queue after the last
+#: chunk (an Exception instance there means the stream failed at that point)
+STREAM_EOS = object()
+
+
+@dataclass
+class _StreamRequest:
+    """A streaming utterance: chunks flow through `queue` as the dispatch
+    thread produces them (the HTTP handler drains and writes them, so a slow
+    client socket never blocks device dispatch)."""
+
+    text: str
+    spkemb: object
+    chunk_frames: int
+    queue: queue.SimpleQueue = field(default_factory=queue.SimpleQueue)
+
+
 @dataclass
 class BatcherStats:
     """Counters exposed via the /health endpoint (all under the lock of the
@@ -40,11 +57,14 @@ class BatcherStats:
     max_batch_seen: int = 0
     errors: int = 0
     synth_wall_s: float = 0.0
+    streams: int = 0
+    stream_chunks: int = 0
 
     def as_dict(self) -> dict:
         d = {"requests": self.requests, "batches": self.batches,
              "max_batch_seen": self.max_batch_seen, "errors": self.errors,
-             "synth_wall_s": round(self.synth_wall_s, 3)}
+             "synth_wall_s": round(self.synth_wall_s, 3),
+             "streams": self.streams, "stream_chunks": self.stream_chunks}
         if self.batches:
             d["mean_batch_size"] = round(self.requests / self.batches, 2)
         return d
@@ -76,6 +96,21 @@ class DynamicBatcher:
         self._q.put(req)
         return req.future
 
+    def submit_stream(self, text: str, spkemb,
+                      chunk_frames: int = 96) -> queue.SimpleQueue:
+        """Enqueue a streaming utterance; returns a queue of waveform chunks
+        terminated by STREAM_EOS (or an Exception instance on failure).
+
+        Streams run solo on the dispatch thread (never grouped into a batch
+        window) and serialize with batch dispatches — one XLA program in
+        flight at a time, same as everything else on this engine."""
+        if self._closed:
+            raise RuntimeError("batcher is closed")
+        req = _StreamRequest(text=text, spkemb=spkemb,
+                             chunk_frames=chunk_frames)
+        self._q.put(req)
+        return req.queue
+
     def close(self, timeout: float = 10.0) -> None:
         """Drain-and-stop: queued requests still complete."""
         if self._closed:
@@ -86,11 +121,15 @@ class DynamicBatcher:
 
     # ------------------------------------------------------------------
 
-    def _collect_window(self, first: _Request) -> tuple[list[_Request], bool]:
-        """Gather up to max_batch requests within max_delay of `first`."""
+    def _collect_window(self, first: _Request):
+        """Gather up to max_batch requests within max_delay of `first`.
+
+        Returns (batch, holdover): `holdover` is a non-batchable item pulled
+        mid-window (a _StreamRequest or the stop sentinel) that the loop must
+        handle after dispatching the batch, or None."""
         batch = [first]
         deadline = time.monotonic() + self._max_delay_s
-        stop = False
+        holdover = None
         while len(batch) < self._max_batch:
             remaining = deadline - time.monotonic()
             if remaining <= 0:
@@ -99,11 +138,11 @@ class DynamicBatcher:
                 item = self._q.get(timeout=remaining)
             except queue.Empty:
                 break
-            if item is self._STOP:
-                stop = True
+            if item is self._STOP or isinstance(item, _StreamRequest):
+                holdover = item
                 break
             batch.append(item)
-        return batch, stop
+        return batch, holdover
 
     def _dispatch(self, batch: list[_Request]) -> None:
         import numpy as np
@@ -126,12 +165,35 @@ class DynamicBatcher:
         for r, (wav, mel_len) in zip(batch, outs):
             r.future.set_result((wav, mel_len))
 
+    def _dispatch_stream(self, req: _StreamRequest) -> None:
+        """Iterate the engine's streaming generator, relaying chunks to the
+        request's queue; the handler thread does the socket writes."""
+        t0 = time.monotonic()
+        try:
+            for chunk in self._engine.tts_stream_text(
+                    req.text, req.spkemb, chunk_frames=req.chunk_frames):
+                req.queue.put(chunk)
+                self.stats.stream_chunks += 1
+        except Exception as e:  # noqa: BLE001 — forwarded to the consumer
+            self.stats.errors += 1
+            req.queue.put(e)
+            return
+        self.stats.synth_wall_s += time.monotonic() - t0
+        self.stats.streams += 1
+        req.queue.put(STREAM_EOS)
+
     def _loop(self) -> None:
+        pending = None
         while True:
-            item = self._q.get()
+            item = pending if pending is not None else self._q.get()
+            pending = None
             if item is self._STOP:
                 return
-            batch, stop = self._collect_window(item)
+            if isinstance(item, _StreamRequest):
+                self._dispatch_stream(item)
+                continue
+            batch, holdover = self._collect_window(item)
             self._dispatch(batch)
-            if stop:
+            if holdover is self._STOP:
                 return
+            pending = holdover

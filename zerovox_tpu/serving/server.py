@@ -19,13 +19,16 @@ from __future__ import annotations
 
 import io
 import json
+import queue
+import struct
 import threading
+import time
 import wave
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 
 import numpy as np
 
-from zerovox_tpu.serving.batcher import DynamicBatcher
+from zerovox_tpu.serving.batcher import STREAM_EOS, DynamicBatcher
 
 
 class VoiceRegistry:
@@ -66,6 +69,25 @@ def _wav_bytes(wav: np.ndarray, sampling_rate: int) -> bytes:
         w.setframerate(sampling_rate)
         w.writeframes(wav.tobytes())
     return buf.getvalue()
+
+
+def _pcm16_bytes(wav: np.ndarray) -> bytes:
+    wav = np.asarray(wav)
+    if wav.dtype != np.int16:
+        wav = (np.clip(wav, -1.0, 1.0) * 32767.0).astype(np.int16)
+    return wav.tobytes()
+
+
+def _wav_stream_header(sampling_rate: int) -> bytes:
+    """RIFF/WAVE 16-bit mono PCM header with unknown (0xFFFFFFFF) sizes —
+    the standard streaming-WAV convention (players treat it as 'read until
+    the transport ends')."""
+    return b"".join([
+        b"RIFF", struct.pack("<I", 0xFFFFFFFF), b"WAVE",
+        b"fmt ", struct.pack("<IHHIIHH", 16, 1, 1, sampling_rate,
+                             sampling_rate * 2, 2, 16),
+        b"data", struct.pack("<I", 0xFFFFFFFF),
+    ])
 
 
 class _Handler(BaseHTTPRequestHandler):
@@ -121,6 +143,11 @@ class _Handler(BaseHTTPRequestHandler):
                                   "voices": srv.voices.names()})
             return
 
+        if req.get("stream"):
+            self._stream_tts(text, spkemb,
+                             int(req.get("chunk_frames", 96) or 96))
+            return
+
         try:
             wav, mel_len = srv.batcher.submit(text, spkemb).result(
                 timeout=srv.request_timeout_s)
@@ -137,6 +164,63 @@ class _Handler(BaseHTTPRequestHandler):
         self.send_header("X-Mel-Frames", str(int(mel_len)))
         self.end_headers()
         self.wfile.write(body)
+
+    # ------------------------------------------------------- streaming path
+
+    def _write_http_chunk(self, data: bytes) -> None:
+        """One HTTP/1.1 chunked-transfer frame (empty data = terminator)."""
+        self.wfile.write(f"{len(data):X}\r\n".encode() + data + b"\r\n")
+        self.wfile.flush()
+
+    def _stream_tts(self, text: str, spkemb, chunk_frames: int) -> None:
+        """Chunked-transfer streaming WAV: audio bytes go out as the engine
+        vocodes each window (`tts_stream_text`), so time-to-first-audio is
+        one chunk's synthesis, not the whole utterance's."""
+        srv = self.server
+        chunks = srv.batcher.submit_stream(text, spkemb,
+                                           chunk_frames=chunk_frames)
+        deadline = time.monotonic() + srv.request_timeout_s
+
+        # hold the status line until the first chunk (or error) so failures
+        # before any audio still get a proper 500
+        try:
+            first = chunks.get(timeout=srv.request_timeout_s)
+        except queue.Empty:
+            first = TimeoutError("stream start timed out")
+        if isinstance(first, Exception) or first is STREAM_EOS:
+            err = first if isinstance(first, Exception) else \
+                RuntimeError("empty stream (no synthesizable text)")
+            self._send_json(500, {"error": f"synthesis failed: "
+                                           f"{err or type(err).__name__}"})
+            return
+
+        self.send_response(200)
+        self.send_header("Content-Type", "audio/wav")
+        self.send_header("Transfer-Encoding", "chunked")
+        self.send_header("X-Stream-Chunk-Frames", str(chunk_frames))
+        self.end_headers()
+        try:
+            self._write_http_chunk(_wav_stream_header(srv.sampling_rate))
+            item = first
+            while item is not STREAM_EOS:
+                if isinstance(item, Exception):
+                    break  # mid-stream failure: truncate the transport
+                self._write_http_chunk(_pcm16_bytes(item))
+                try:
+                    item = chunks.get(
+                        timeout=max(0.0, deadline - time.monotonic()))
+                except queue.Empty:
+                    break  # timeout: truncate
+            else:
+                self._write_http_chunk(b"")  # clean end-of-stream
+                return
+            # truncated: close without the zero chunk so clients see an
+            # aborted transfer rather than a silently-short utterance
+            self.close_connection = True
+        except (BrokenPipeError, ConnectionResetError):
+            # client went away mid-stream: drop the connection (the dispatch
+            # thread's puts never block — SimpleQueue — so no drain needed)
+            self.close_connection = True
 
 
 def make_server(engine, voices: VoiceRegistry, host: str = "127.0.0.1",
