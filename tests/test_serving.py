@@ -160,6 +160,51 @@ class TestStreamDispatch:
         finally:
             b.close()
 
+    def test_batch_completes_while_stream_active(self):
+        # no head-of-line blocking: a batch request submitted mid-stream
+        # must resolve while the stream is still producing. The stream only
+        # ENDS when the test says so — if the scheduler ran streams to
+        # completion before batches, f.result() below would deadlock.
+        stream_may_end = threading.Event()
+
+        class Eng(FakeEngine):
+            def tts_stream_text(self, text, spkemb, chunk_frames=96):
+                while not stream_may_end.is_set():
+                    yield np.zeros(4, np.float32)
+                    time.sleep(0.005)
+
+        b = DynamicBatcher(Eng(), max_batch=4, max_delay_ms=5)
+        try:
+            q = b.submit_stream("endless", EMB)
+            assert q.get(timeout=5) is not STREAM_EOS  # stream is running
+            f = b.submit("abcde", EMB)
+            wav, mel_len = f.result(timeout=10)  # interleaved, not starved
+            assert mel_len == 5
+            stream_may_end.set()
+            while q.get(timeout=10) is not STREAM_EOS:
+                pass
+            assert b.stats.streams == 1 and b.stats.requests == 1
+        finally:
+            stream_may_end.set()
+            b.close()
+
+    def test_two_streams_round_robin(self):
+        b = DynamicBatcher(FakeEngine(), max_batch=4, max_delay_ms=5)
+        try:
+            qa = b.submit_stream("aa bb cc", EMB)
+            qb = b.submit_stream("x y z", EMB)
+            for q, want in ((qa, [2.0, 2.0, 2.0]), (qb, [1.0, 1.0, 1.0])):
+                got = []
+                while True:
+                    item = q.get(timeout=5)
+                    if item is STREAM_EOS:
+                        break
+                    got.append(item[0])
+                assert got == want
+            assert b.stats.streams == 2 and b.stats.stream_chunks == 6
+        finally:
+            b.close()
+
     def test_streams_serialize_with_batches(self):
         # batch requests queued behind a stream (and vice versa) all
         # complete; a stream pulled mid-window becomes the holdover item

@@ -101,9 +101,10 @@ class DynamicBatcher:
         """Enqueue a streaming utterance; returns a queue of waveform chunks
         terminated by STREAM_EOS (or an Exception instance on failure).
 
-        Streams run solo on the dispatch thread (never grouped into a batch
-        window) and serialize with batch dispatches — one XLA program in
-        flight at a time, same as everything else on this engine."""
+        Streams advance one chunk per scheduler turn and interleave with
+        batch windows (and each other) on the dispatch thread — a long
+        stream never head-of-line-blocks concurrent requests, while every
+        engine call still runs on the single dispatch thread."""
         if self._closed:
             raise RuntimeError("batcher is closed")
         req = _StreamRequest(text=text, spkemb=spkemb,
@@ -165,35 +166,56 @@ class DynamicBatcher:
         for r, (wav, mel_len) in zip(batch, outs):
             r.future.set_result((wav, mel_len))
 
-    def _dispatch_stream(self, req: _StreamRequest) -> None:
-        """Iterate the engine's streaming generator, relaying chunks to the
-        request's queue; the handler thread does the socket writes."""
+    def _step_stream(self, entry) -> bool:
+        """Produce ONE chunk of an active stream; returns False when the
+        stream finished (EOS or error placed on its queue)."""
+        req, gen = entry
         t0 = time.monotonic()
         try:
-            for chunk in self._engine.tts_stream_text(
-                    req.text, req.spkemb, chunk_frames=req.chunk_frames):
-                req.queue.put(chunk)
-                self.stats.stream_chunks += 1
+            chunk = next(gen)
+        except StopIteration:
+            self.stats.synth_wall_s += time.monotonic() - t0
+            self.stats.streams += 1
+            req.queue.put(STREAM_EOS)
+            return False
         except Exception as e:  # noqa: BLE001 — forwarded to the consumer
             self.stats.errors += 1
             req.queue.put(e)
-            return
+            return False
         self.stats.synth_wall_s += time.monotonic() - t0
-        self.stats.streams += 1
-        req.queue.put(STREAM_EOS)
+        self.stats.stream_chunks += 1
+        req.queue.put(chunk)
+        return True
 
     def _loop(self) -> None:
+        """Cooperative scheduler: streams advance one chunk per turn and
+        batch windows dispatch between chunks, so a long-running stream
+        never head-of-line-blocks concurrent batch requests (and multiple
+        streams round-robin). Every engine call still happens on this one
+        thread — one XLA program in flight at a time."""
+        streams: list = []  # active (request, generator) pairs
         pending = None
+        stopping = False
         while True:
-            item = pending if pending is not None else self._q.get()
-            pending = None
+            if pending is not None:
+                item, pending = pending, None
+            elif stopping or streams:
+                # don't block while streams have work (or we're draining)
+                try:
+                    item = self._q.get_nowait()
+                except queue.Empty:
+                    item = None
+            else:
+                item = self._q.get()
             if item is self._STOP:
+                stopping = True
+            elif isinstance(item, _StreamRequest):
+                gen = self._engine.tts_stream_text(
+                    item.text, item.spkemb, chunk_frames=item.chunk_frames)
+                streams.append((item, gen))
+            elif item is not None:
+                batch, pending = self._collect_window(item)
+                self._dispatch(batch)
+            streams = [s for s in streams if self._step_stream(s)]
+            if stopping and not streams and pending is None:
                 return
-            if isinstance(item, _StreamRequest):
-                self._dispatch_stream(item)
-                continue
-            batch, holdover = self._collect_window(item)
-            self._dispatch(batch)
-            if holdover is self._STOP:
-                return
-            pending = holdover
