@@ -31,8 +31,10 @@ import time
 
 import numpy as np
 
-REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+SCRIPTS = os.path.dirname(os.path.abspath(__file__))
+REPO = os.path.dirname(SCRIPTS)
 sys.path.insert(0, REPO)
+sys.path.insert(0, SCRIPTS)
 
 from bench_train_scaling import synth_batch  # noqa: E402  (same dir)
 
@@ -52,7 +54,8 @@ def timed_step(step_fn, state, sb, key, steps):
         jax.device_get(losses["loss"])
         return time.perf_counter() - t0
 
-    n1, n2 = max(steps // 4, 1), steps
+    n1 = max(steps // 4, 1)
+    n2 = max(steps, n1 + 1)
     t1, t2 = run(n1), run(n2)
     return (t2 - t1) / (n2 - n1)
 
@@ -122,21 +125,8 @@ def main():
     step_b = make_train_step(tr.model, barrier_tx(tr.tx), precision="bf16-mixed")
     measure("bf16+barrier", tr, step_b)
 
-    # 4+5: same body, different jit wrapping. make_train_step returns the
-    # jitted fn; capture the unjitted body by interposing jax.jit for the call.
-    unjitted_holder = {}
-    orig_jit = jax.jit
-
-    def capture_jit(fn, *a, **k):
-        unjitted_holder["fn"] = fn
-        return orig_jit(fn, *a, **k)
-
-    jax.jit = capture_jit
-    try:
-        make_train_step(tr.model, tr.tx, precision="bf16-mixed")
-    finally:
-        jax.jit = orig_jit
-    body = unjitted_holder["fn"]
+    # 4+5: same body, different jit wrapping.
+    body = make_train_step(tr.model, tr.tx, precision="bf16-mixed", jit=False)
 
     for name, opts in [
         ("bf16-nolhs", {"xla_tpu_enable_latency_hiding_scheduler": "false"}),

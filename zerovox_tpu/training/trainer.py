@@ -73,11 +73,15 @@ def make_train_step(
     tx: optax.GradientTransformation,
     train_decoder_only: bool = False,
     precision: str = "32",
+    jit: bool = True,
 ) -> Callable:
     """precision="bf16-mixed" runs the forward/backward in bfloat16 with f32
     master weights and f32 optimizer state (the TPU analogue of the
     reference's Lightning `--precision 16-mixed` default,
-    utils/train_tts.py:51; bf16 needs no loss scaling)."""
+    utils/train_tts.py:51; bf16 needs no loss scaling).
+
+    jit=False returns the raw step body (for schedule experiments that want
+    to re-wrap it with different jit options, e.g. scripts/exp_b8_pathology.py)."""
     mixed = precision in ("bf16-mixed", "bf16", "16-mixed")
 
     def _half(tree):
@@ -125,6 +129,8 @@ def make_train_step(
         )
         return new_state, losses
 
+    if not jit:
+        return train_step
     return jax.jit(train_step, donate_argnums=(0,))
 
 
