@@ -138,6 +138,10 @@ def main():
             _play(wav, sr)
         if rtf:
             print("Average RTF: {:.2f}".format(np.mean(rtf)))
+        if args.verbose:
+            from zerovox_tpu.utils.compile_cache import format_cache_stats
+
+            print(format_cache_stats())
         return
 
     if args.interactive:

@@ -652,6 +652,10 @@ class ZeroVoxTTS:
             # array would key a different jit cache entry than the real call
             embs = np.tile(np.asarray(spkemb, np.float32), (B, 1, 1))
             self.tts_batch([texts[0]] * B, embs)
+        if self._verbose:
+            from zerovox_tpu.utils.compile_cache import format_cache_stats
+
+            print(f"warmup done; {format_cache_stats()}")
 
     def summary(self, depth: int = 1, ref_mel=None):
         """Parameter-count summary (reference uses torchinfo, synthesize.py:245-266)."""
