@@ -24,6 +24,22 @@ from zerovox_tpu.hub import DEFAULT_MELDEC_MODEL_NAME
 from zerovox_tpu.symbols import Symbols
 
 
+def resolve_optim_dtype(spec: str, batch_size: int) -> str:
+    """'auto' -> bf16 second moments on TPU at batch >= 32, f32 otherwise.
+
+    bf16 nu measured -6.5% step time at B=64 on v5e (pure HBM-bandwidth win,
+    docs/PERFORMANCE.md); small batches keep f32 — the optimizer slice is
+    least overlapped there and the precision costs nothing."""
+    if spec != "auto":
+        return spec
+    import jax
+
+    if jax.default_backend() != "cpu" and batch_size >= 32:
+        print("optim-dtype auto -> bf16 second moments (TPU, batch >= 32)")
+        return "bf16"
+    return "f32"
+
+
 def get_args(argv=None):
     parser = argparse.ArgumentParser()
     parser.add_argument("--accelerator", type=str, default="tpu", choices=["tpu", "cpu"])
@@ -64,13 +80,14 @@ def get_args(argv=None):
                              "backward: measured ~7-9%% SLOWER on v5e but "
                              "frees the stored stem activations (memory "
                              "lever for very large batches; PERFORMANCE.md)")
-    parser.add_argument("--optim-dtype", default="f32", choices=["f32", "bf16"],
+    parser.add_argument("--optim-dtype", default="auto",
+                        choices=["auto", "f32", "bf16"],
                         help="second-moment storage dtype: bf16 halves the "
                              "optimizer's nu HBM stream (the AdamW update "
                              "is bandwidth-bound; ~0.2%% step-size noise, "
                              "requires betas[0]=0). Measured -6.5%% step "
-                             "time at B=64 but pathological with the packed "
-                             "speaker encoder at B=8 — use at batch >= 32 "
+                             "time at B=64 on v5e. 'auto' (default) picks "
+                             "bf16 on TPU at batch >= 32 and f32 otherwise "
                              "(PERFORMANCE.md)")
     parser.add_argument("--profile", type=str, default=None, metavar="DIR",
                         help="capture a jax.profiler trace of the first "
@@ -237,7 +254,7 @@ def main(argv=None):
         keep_checkpoints=args.keep_checkpoints,
         checkpoint_every_n_epochs=args.checkpoint_every_n_epochs,
         profile_dir=args.profile, profile_steps=args.profile_steps,
-        optim_dtype=args.optim_dtype,
+        optim_dtype=resolve_optim_dtype(args.optim_dtype, args.batch_size),
     )
     trainer = Trainer(cfg, tcfg, steps_per_epoch=datamodule.steps_per_epoch(), mesh=mesh)
 
@@ -262,6 +279,10 @@ def main(argv=None):
                                      reinit_decoder=args.train_decoder_only)
 
     trainer.fit(datamodule.train_dataloader, state, start_epoch=start_epoch)
+
+    from zerovox_tpu.utils.compile_cache import format_cache_stats
+
+    print(format_cache_stats())
 
 
 if __name__ == "__main__":
