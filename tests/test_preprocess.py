@@ -118,6 +118,58 @@ def lj_corpus(tmp_path_factory):
     return str(root)
 
 
+class TestAlignmentPaddingClamp:
+    """Regression: batch emissions are zero-padded to the longest wav; a
+    bad transcript can make Viterbi place trailing tokens in the padding.
+    Such samples must be dropped, not written with spans beyond the true
+    wav end (first observed on self-labeled real speech,
+    scripts/exp_real_speech.py)."""
+
+    def _pre(self):
+        from zerovox_tpu.preprocess.aligner import EnergyPseudoAligner
+        from zerovox_tpu.preprocess.pipeline import Preprocessor
+
+        modelcfg = {
+            "audio": {"sampling_rate": 22050, "hop_size": 256,
+                      "fft_size": 1024, "win_length": 1024, "num_mels": 80,
+                      "fmin": 0, "fmax": 8000},
+            "model": {"max_txt_len": 512, "min_mel_len": 1, "max_mel_len": 1750,
+                      "phones": "'-abcdefghijklmnopqrstuvwxyz",
+                      "puncts": " ,.;:-!?\""},
+        }
+        al = EnergyPseudoAligner()
+        return Preprocessor(modelcfg, "en", min_avg_score=0.0, aligner=al), al
+
+    def _emission(self, al, frames_ab, T):
+        d = al.dictionary
+        path = [al.blank] * T
+        for t, c in frames_ab:
+            path[t] = d[c]
+        em = np.full((T, len(al.labels)), -12.0, np.float32)
+        em[np.arange(T), path] = -0.01
+        return em - np.log(np.exp(em).sum(-1, keepdims=True))
+
+    def test_span_in_padding_drops_sample(self):
+        pre, al = self._pre()
+        n_true = 10  # true wav frames; emission padded to 20
+        audio = np.ones(n_true * al.hop_size, np.float32) * 0.1
+        job = {"wav_path": "x.wav", "transcript_uroman": "ab",
+               "transcript_normalized": "ab", "base_name": "x"}
+        em = self._emission(al, [(2, "a"), (16, "b")], T=20)
+        assert pre._align_one(em, job, audio) is None
+
+    def test_span_inside_wav_is_kept(self):
+        pre, al = self._pre()
+        n_true = 10
+        audio = np.ones(n_true * al.hop_size, np.float32) * 0.1
+        job = {"wav_path": "x.wav", "transcript_uroman": "ab",
+               "transcript_normalized": "ab", "base_name": "x"}
+        em = self._emission(al, [(2, "a"), (7, "b")], T=20)
+        res = pre._align_one(em, job, audio)
+        assert res is not None
+        assert sum(res.durations) == res.end_hop - res.start_hop
+
+
 class TestPipelineEndToEnd:
     def test_full_preprocess(self, lj_corpus, tmp_path, monkeypatch):
         out_base = tmp_path / "preprocessed"

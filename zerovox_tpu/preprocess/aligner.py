@@ -84,6 +84,59 @@ class EnergyPseudoAligner(AlignerBase):
         return out
 
 
+class ClusterAligner(AlignerBase):
+    """CTC emissions from discovered acoustic units (preprocess/units.py).
+
+    For self-labeled corpora: the pseudo-transcript is the collapsed
+    nearest-unit sequence, and emissions here score each frame against the
+    SAME k-means centroids (log-softmax of -||f - c||^2 / tau over the
+    letters, with silence probability from the frame's RMS gate), so the
+    pipeline's Viterbi forced alignment (preprocess/ctc_align.py)
+    reconstructs honest frame-level unit boundaries. This is the
+    zero-egress equivalent of the reference's MMS_FA alignment
+    (utils/preprocess.py:333-342) for wavs that have no transcripts."""
+
+    def __init__(self, units_path: str, tau: float = 2.0):
+        from zerovox_tpu.preprocess.units import (UNIT_HOP,
+                                                  UNIT_SAMPLE_RATE,
+                                                  UNIT_LETTERS, load_units)
+
+        labels = ("-",) + tuple(UNIT_LETTERS)
+        super().__init__(labels)
+        self.sample_rate = UNIT_SAMPLE_RATE
+        self.hop_size = UNIT_HOP
+        self._centroids = load_units(units_path)
+        self._tau = tau
+
+    def emissions(self, wav_batch: np.ndarray) -> np.ndarray:
+        from zerovox_tpu.preprocess.units import (assign_units,  # noqa: F401
+                                                  unit_features, voiced_mask)
+
+        B = wav_batch.shape[0]
+        T = wav_batch.shape[1] // self.hop_size
+        C = len(self.labels)
+        out = np.full((B, T, C), -30.0, dtype=np.float32)
+        for b in range(B):
+            mel, rms = unit_features(wav_batch[b])
+            t = min(T, len(mel))
+            if t == 0:
+                out[b, :, self.blank] = 0.0
+                continue
+            d2 = ((mel[:t, None, :] - self._centroids[None]) ** 2).sum(axis=2)
+            scores = -d2 / self._tau  # [t, k]
+            voiced = voiced_mask(rms[:t])
+            # blank competes at the frame's best-unit score on silent
+            # frames and stays far below it on voiced frames
+            blank = np.where(voiced, scores.max(axis=1) - 8.0,
+                             scores.max(axis=1) + 8.0)
+            out[b, :t, 1 : 1 + scores.shape[1]] = scores
+            out[b, :t, self.blank] = blank
+            if t < T:
+                out[b, t:, self.blank] = 0.0
+        out = out - np.log(np.exp(out - out.max(-1, keepdims=True)).sum(-1, keepdims=True)) - out.max(-1, keepdims=True)
+        return out
+
+
 class Wav2Vec2Aligner(AlignerBase):  # pragma: no cover - needs local weights
     """HF wav2vec2-CTC emissions (e.g. MMS-FA) via transformers (torch CPU)."""
 
@@ -118,13 +171,16 @@ def make_aligner(spec: str | None = None) -> AlignerBase:
     uses a real CTC model, utils/preprocess.py:333-342).
 
     Specs: 'pseudo' | 'tone' (built-in tone-speak CTC, for synthetic
-    corpora/tests) | any HF wav2vec2-CTC checkpoint path/name.
+    corpora/tests) | 'cluster:<units.npz>' (discovered acoustic units for
+    self-labeled corpora, preprocess/units.py) | any HF wav2vec2-CTC
+    checkpoint path/name.
     """
     if spec is None:
         raise ValueError(
             "no alignment model specified. Pass --aligner <wav2vec2-ctc "
             "checkpoint path> for real corpora, --aligner tone for synthetic "
-            "tone-speak corpora, or --aligner pseudo to explicitly accept "
+            "tone-speak corpora, --aligner cluster:<units.npz> for "
+            "self-labeled corpora, or --aligner pseudo to explicitly accept "
             "NON-PHONETIC energy-ramp alignments (pipeline testing only).")
     if spec == "pseudo":
         print("warning: using EnergyPseudoAligner — alignments are "
@@ -135,6 +191,8 @@ def make_aligner(spec: str | None = None) -> AlignerBase:
         from zerovox_tpu.preprocess.tone_ctc import ToneCTCAligner
 
         return ToneCTCAligner()
+    if spec.startswith("cluster:"):
+        return ClusterAligner(spec.split(":", 1)[1])
     try:
         return Wav2Vec2Aligner(spec)
     except Exception as e:

@@ -160,6 +160,19 @@ class Preprocessor:
         if spans and spans[0].start < start_hop_a:
             start_hop_a = spans[0].start
 
+        # Batch emissions are zero-padded to the longest wav in the batch; a
+        # poorly-matching transcript can make Viterbi push trailing tokens
+        # into that padding (observed on self-labeled real speech,
+        # scripts/exp_real_speech.py). Such spans lie beyond the true wav
+        # end, so the feature stage's mel would be shorter than the aligned
+        # span — drop the sample instead of writing corrupt durations.
+        n_frames_true = len(audio) // self._aligner.hop_size
+        if spans[-1].end > n_frames_true:
+            print(f"{job['wav_path']}: *** dropping sample, alignment ran "
+                  f"into batch padding ({spans[-1].end} > {n_frames_true} "
+                  f"frames)")
+            return None
+
         # convert every time marker to target hops up front
         start_hop = self.ahop2thop(start_hop_a)
         end_hop_th = self.ahop2thop(end_hop_th_a)
