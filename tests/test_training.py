@@ -666,3 +666,20 @@ class TestRemat:
         state, losses = trainer._train_step(state, shard_batch(device_batch(batch), mesh),
                                             jax.random.PRNGKey(0))
         assert np.isfinite(float(losses["loss"]))
+
+
+def test_resolve_optim_dtype(monkeypatch):
+    """auto -> bf16 on accelerator backends at EVERY batch size (the round-3
+    batch>=32 gate guarded a contention artifact, not a real pathology —
+    docs/PERFORMANCE.md round-4 addendum); f32 on CPU; explicit specs pass
+    through."""
+    import jax
+
+    from zerovox_tpu.cli.train import resolve_optim_dtype
+
+    assert resolve_optim_dtype("f32", 64) == "f32"
+    assert resolve_optim_dtype("bf16", 8) == "bf16"
+    assert resolve_optim_dtype("auto", 8) == "f32"  # tests run on CPU
+    monkeypatch.setattr(jax, "default_backend", lambda: "tpu")
+    assert resolve_optim_dtype("auto", 8) == "bf16"
+    assert resolve_optim_dtype("auto", 64) == "bf16"

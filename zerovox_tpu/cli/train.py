@@ -25,17 +25,20 @@ from zerovox_tpu.symbols import Symbols
 
 
 def resolve_optim_dtype(spec: str, batch_size: int) -> str:
-    """'auto' -> bf16 second moments on TPU at batch >= 32, f32 otherwise.
+    """'auto' -> bf16 second moments on any accelerator backend, f32 on CPU.
 
-    bf16 nu measured -6.5% step time at B=64 on v5e (pure HBM-bandwidth win,
-    docs/PERFORMANCE.md); small batches keep f32 — the optimizer slice is
-    least overlapped there and the precision costs nothing."""
+    bf16 nu is a pure HBM-bandwidth win at every batch size on the v5e:
+    -6.5% step time at B=64 and -3..-11% at B=8 (20.9-23.0 ms vs 23.3-23.6,
+    docs/bench_b8_pathology_r4.json). Round 3's recorded B=8 "pathology"
+    (80.8 ms) turned out to be host contention on the tunneled backend, not
+    an XLA scheduling interaction — see docs/PERFORMANCE.md round-4
+    addendum."""
     if spec != "auto":
         return spec
     import jax
 
-    if jax.default_backend() != "cpu" and batch_size >= 32:
-        print("optim-dtype auto -> bf16 second moments (TPU, batch >= 32)")
+    if jax.default_backend() != "cpu":
+        print("optim-dtype auto -> bf16 second moments (accelerator backend)")
         return "bf16"
     return "f32"
 
@@ -102,6 +105,13 @@ def get_args(argv=None):
                              "stride-2 transition; identical math + "
                              "checkpoints at any level). Default: 1 on TPU "
                              "(-19%% step time measured on v5e), 0 elsewhere")
+    parser.add_argument("--fused-speaker", type=int, nargs="?", const=1,
+                        default=0, choices=[0, 1],
+                        help="run the packed speaker-encoder stage 1 through "
+                             "the fused Pallas conv passes (one HBM round "
+                             "trip per conv, BN stats + SE squeeze in conv "
+                             "epilogues, custom-VJP backward; identical math "
+                             "+ checkpoints). Requires --packed-speaker >= 1")
     parser.add_argument("--max-epochs", type=int, default=40)
     parser.add_argument("--warmup-epochs", type=int, default=2)
     parser.add_argument("--batch-size", type=int, default=24,
@@ -210,7 +220,8 @@ def main(argv=None):
         import jax
 
         args.packed_speaker = 1 if jax.default_backend() == "tpu" else 0
-    if args.remat or args.remat_speaker or args.packed_speaker:
+    if (args.remat or args.remat_speaker or args.packed_speaker
+            or args.fused_speaker):
         import dataclasses
 
         mcfg = cfg.model
@@ -220,6 +231,10 @@ def main(argv=None):
             mcfg = dataclasses.replace(mcfg, remat_speaker=True)
         if args.packed_speaker:
             mcfg = dataclasses.replace(mcfg, packed_speaker=args.packed_speaker)
+        if args.fused_speaker:
+            if not (args.packed_speaker or mcfg.packed_speaker):
+                raise SystemExit("--fused-speaker requires --packed-speaker >= 1")
+            mcfg = dataclasses.replace(mcfg, fused_speaker=True)
         cfg = dataclasses.replace(cfg, model=mcfg)
     symbols = Symbols(modelcfg["model"]["phones"], modelcfg["model"]["puncts"])
 
