@@ -123,6 +123,9 @@ def main():
     ap.add_argument("--packed-speaker", type=int, default=0, choices=(0, 1, 2),
                     help="speaker-encoder 2x2 lane packing level "
                          "(checkpoint-compatible; see docs/PERFORMANCE.md)")
+    ap.add_argument("--fused-speaker", action="store_true",
+                    help="fused Pallas stage-1 passes for the packed speaker "
+                         "encoder (ops/pallas/se_fused.py; needs packing)")
     ap.add_argument("--config", default=None,
                     help="modelcfg yaml (default: built-in tts_medium); use "
                          "configs/tts_medium_tpu.yaml for the lane-aligned "
@@ -146,7 +149,8 @@ def main():
             cfg = ZeroVoxConfig.from_dict(yaml.safe_load(f))
     else:
         cfg = ZeroVoxConfig()  # tts_medium
-    if args.remat or args.remat_speaker or args.packed_speaker:
+    if (args.remat or args.remat_speaker or args.packed_speaker
+            or args.fused_speaker):
         import dataclasses
 
         mcfg = cfg.model
@@ -156,6 +160,8 @@ def main():
             mcfg = dataclasses.replace(mcfg, remat_speaker=True)
         if args.packed_speaker:
             mcfg = dataclasses.replace(mcfg, packed_speaker=args.packed_speaker)
+        if args.fused_speaker:
+            mcfg = dataclasses.replace(mcfg, fused_speaker=True)
         cfg = dataclasses.replace(cfg, model=mcfg)
     mesh = make_mesh(MeshConfig(data=1), devices=jax.devices()[:1])
 

@@ -90,6 +90,11 @@ class ModelConfig:
     # trees at any level — the packed kernels are fixed rearrangements of
     # the canonical parameters — so checkpoints are interchangeable.
     packed_speaker: int = 0
+    # Route the packed stage-1 chain through the fused Pallas conv passes
+    # (ops/pallas/se_fused.py): one HBM read + write per conv, BN stats and
+    # the SE squeeze folded into conv epilogues, custom-VJP backward.
+    # Requires packed_speaker >= 1; identical math and trees.
+    fused_speaker: bool = False
     encoder: EncoderConfig = field(default_factory=EncoderConfig)
     decoder: DecoderConfig = field(default_factory=DecoderConfig)
     resnet: ResNetConfig = field(default_factory=ResNetConfig)

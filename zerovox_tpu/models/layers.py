@@ -201,18 +201,26 @@ class Conv2d(nn.Module):
     @nn.compact
     def __call__(self, x: jnp.ndarray, kernel_transform=None,
                  kernel_in: int | None = None,
-                 bias_phases: int = 1) -> jnp.ndarray:
+                 bias_phases: int = 1,
+                 return_params: bool = False):
         """`kernel_transform` maps the canonical [kh, kw, in, out] param to the
         kernel actually convolved (e.g. space-to-depth lane packing,
         resnetse._pack_kernel): the param tree and checkpoints stay canonical
         while the compute runs in a different layout. `kernel_in` overrides the
         param's in-channel count when the transform changes it; `bias_phases`
         tiles the canonical per-channel bias across the transform's output
-        phases (phase-major layout)."""
+        phases (phase-major layout). `return_params` skips the compute and
+        returns (kernel, bias|None) for fused kernels (the packed.py
+        ConvTranspose1d pattern); x may be None then, but `kernel_in` is
+        required."""
         kh, kw = self.kernel_size
         cin = x.shape[-1] if kernel_in is None else kernel_in
         kernel = self.param("kernel", nn.initializers.lecun_normal(),
                             (kh, kw, cin, self.features))
+        if return_params:
+            bias = (self.param("bias", nn.initializers.zeros,
+                               (self.features,)) if self.use_bias else None)
+            return kernel, bias
         k = kernel if kernel_transform is None else kernel_transform(kernel)
         y = conv2d(x, k, self.strides, self.padding)
         if self.use_bias:
@@ -343,16 +351,35 @@ class BatchNorm(nn.Module):
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, use_running_average: bool = True,
-                 phases: int = 1) -> jnp.ndarray:
+                 phases: int = 1, return_params: bool = False,
+                 update_stats: tuple | None = None):
         """With `phases` > 1, x's channel axis holds `phases` spatial phases of
         the same `features` channels (phase-major: index p*features + c, the
         space-to-depth layout of resnetse packing). Batch statistics reduce
         over the phase axis too, so train-mode stats and running-stat updates
-        are exactly those of the unpacked tensor."""
+        are exactly those of the unpacked tensor.
+
+        Fused-kernel hooks: `return_params` skips the compute and returns
+        (scale, bias, running_mean, running_var); `update_stats=(mean,
+        biased_var, n)` applies exactly the train-mode running-stat update
+        this module would perform (torch unbiased-var convention) for
+        statistics computed externally (ops/pallas/se_fused.py)."""
         scale = self.param("scale", nn.initializers.ones, (self.features,))
         bias = self.param("bias", nn.initializers.zeros, (self.features,))
         ra_mean = self.variable("batch_stats", "mean", lambda: jnp.zeros(self.features))
         ra_var = self.variable("batch_stats", "var", lambda: jnp.ones(self.features))
+
+        if update_stats is not None:
+            mean, var, n = update_stats
+            if not self.is_initializing():
+                unbiased = var * n / max(n - 1, 1)
+                ra_mean.value = ((1 - self.momentum) * ra_mean.value
+                                 + self.momentum * mean)
+                ra_var.value = ((1 - self.momentum) * ra_var.value
+                                + self.momentum * unbiased)
+            return None
+        if return_params:
+            return scale, bias, ra_mean.value, ra_var.value
 
         if use_running_average:
             mean, var = ra_mean.value, ra_var.value

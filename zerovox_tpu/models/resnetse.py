@@ -124,17 +124,25 @@ class SELayer(nn.Module):
     phases: int = 1
 
     @nn.compact
-    def __call__(self, x):  # x: [B, H, W, phases*C]
-        if self.phases == 1:
-            y = jnp.mean(x, axis=(1, 2))  # global average pool
+    def __call__(self, x, pool=None):  # x: [B, H, W, phases*C]
+        """With `pool` [B, C] given, x is ignored and only the excitation is
+        returned as [B, C] gates (the fused stage-1 path computes the squeeze
+        inside its conv kernel via linearity; ops/pallas/se_fused.py)."""
+        if pool is None:
+            if self.phases == 1:
+                y = jnp.mean(x, axis=(1, 2))  # global average pool
+            else:
+                B, H, W, _ = x.shape
+                y = jnp.mean(x.reshape(B, H, W, self.phases, self.channels),
+                             axis=(1, 2, 3))
         else:
-            B, H, W, _ = x.shape
-            y = jnp.mean(x.reshape(B, H, W, self.phases, self.channels),
-                         axis=(1, 2, 3))
+            y = pool
         y = nn.Dense(max(1, self.channels // self.reduction), name="fc1")(y)
         y = jax.nn.relu(y)
         y = nn.Dense(self.channels, name="fc2")(y)
         y = jax.nn.sigmoid(y)
+        if pool is not None:
+            return y
         if self.phases > 1:
             y = jnp.tile(y, self.phases)
         return x * y[:, None, None, :]
@@ -159,7 +167,9 @@ class SEBasicBlock(nn.Module):
     packed_transition: bool = False
 
     @nn.compact
-    def __call__(self, x):
+    def __call__(self, x, fused_affine=None, fused_spec=None):
+        if fused_spec is not None:
+            return self._fused_call(x, fused_affine, fused_spec)
         if self.packed_transition:
             return self._transition_call(x)
         if self.phases != 1:
@@ -224,6 +234,69 @@ class SEBasicBlock(nn.Module):
 
         return jax.nn.relu(out + residual)
 
+    def _fused_call(self, x, fused_affine, spec):
+        """Fused stage-1 path (ops/pallas/se_fused.py): the whole block is
+        two Pallas conv passes with fused BN prologues and stats/SE-squeeze
+        epilogues, plus one XLA elementwise boundary. `fused_affine` is the
+        (s, t) [1, 128] affine that still has to be applied to this block's
+        input (block 0: the stem BN; identity after) — it runs inside
+        conv1's prologue, and on the residual inside the boundary. x is in
+        the stored-width layout [B, H2, nw*tile, 128]; same param /
+        batch_stats trees as the unfused path."""
+        from zerovox_tpu.ops.pallas import se_fused as sf
+
+        assert self.phases == 4 and self.stride == 1 and not self.downsample
+        C = self.planes
+        phases = 4
+        B, h2 = x.shape[0], x.shape[1]
+        n = B * h2 * spec.w_true * phases
+        s_in, t_in = fused_affine
+        dt = x.dtype
+
+        k1, _ = Conv2d(C, (3, 3), padding=(1, 1), use_bias=False,
+                       name="conv1")(None, kernel_in=C, return_params=True)
+        k2, _ = Conv2d(C, (3, 3), padding=(1, 1), use_bias=False,
+                       name="conv2")(None, kernel_in=C, return_params=True)
+        bn1 = BatchNorm(C, name="bn1")
+        bn2 = BatchNorm(C, name="bn2")
+        g1, b1, rm1, rv1 = bn1(None, return_params=True)
+        g2, b2, rm2, rv2 = bn2(None, return_params=True)
+
+        w1 = sf.pack_taps(_pack_kernel(k1), dt)
+        w2 = sf.pack_taps(_pack_kernel(k2), dt)
+
+        t1, ssum, ssq, _ = sf.se_conv(x, w1, s_in, t_in,
+                                      spec._replace(relu_out=True))
+        if self.train:
+            mean1 = sf.fold_phases(ssum, phases) / n
+            var1 = sf.fold_phases(ssq, phases) / n - mean1 * mean1
+            bn1(None, update_stats=(mean1, var1, n))
+        else:
+            mean1, var1 = rm1, rv1
+        s1, tt1 = sf.affine_packed(g1, b1, mean1, var1, 1e-5, phases)
+
+        t2, ssum2, ssq2, m = sf.se_conv(t1, w2, s1, tt1,
+                                        spec._replace(relu_out=False))
+        if self.train:
+            mean2 = sf.fold_phases(ssum2, phases) / n
+            var2 = sf.fold_phases(ssq2, phases) / n - mean2 * mean2
+            bn2(None, update_stats=(mean2, var2, n))
+        else:
+            mean2, var2 = rm2, rv2
+        s2, tt2 = sf.affine_packed(g2, b2, mean2, var2, 1e-5, phases)
+
+        # SE gate from the linear squeeze (pool = bn2(mean_hw(conv2 out)))
+        pool = m.reshape(B, phases, C).sum(1) / (h2 * spec.w_true * phases)
+        pool = pool * s2[0, :C] + tt2[0, :C]
+        gate = SELayer(C, phases=phases, name="se")(None, pool=pool)
+        gate = jnp.tile(gate, (1, phases))
+
+        # boundary: bn2-apply, gate, residual (with this block's pending
+        # input affine), relu — one fused XLA elementwise pass
+        return jax.nn.relu((t2.astype(jnp.float32) * s2 + tt2)
+                           * gate[:, None, None, :]
+                           + x.astype(jnp.float32) * s_in + t_in).astype(dt)
+
 
 class ResNetSE34V2(nn.Module):
     layers: tuple[int, ...] = (3, 4, 6, 3)
@@ -257,6 +330,13 @@ class ResNetSE34V2(nn.Module):
     # the isolated stem rows suggested the opposite. Identical math and
     # trees either way; the knob stays for the A/B record.
     packed_stem: bool = True
+    # Run the packed stage-1 chain through the fused Pallas conv passes
+    # (ops/pallas/se_fused.py): one read + one write per conv, BN stats and
+    # the SE squeeze folded into conv epilogues, custom-VJP backward.
+    # Requires packed_stages >= 1 + packed_stem and 4*num_filters[0] == 128.
+    # Identical math and trees; interpret mode is picked automatically on
+    # CPU backends so tests exercise the same code path.
+    fused_stage1: bool = False
 
     @nn.compact
     def __call__(self, x, l2_norm: bool = True, train: bool = False):
@@ -287,15 +367,49 @@ class ResNetSE34V2(nn.Module):
         x = Conv2d(self.num_filters[0], (3, 3), padding=(1, 1), use_bias=True,
                    name="conv1")(x, **stem_kw)
         x = jax.nn.relu(x)
-        x = BatchNorm(self.num_filters[0], name="bn1")(
-            x, use_running_average=not train, phases=4 if stem_packed else 1)
-        if pack0 and not stem_packed:
-            x = _pack2x2(x)
+        bn_stem = BatchNorm(self.num_filters[0], name="bn1")
+        fused = (self.fused_stage1 and stem_packed
+                 and 4 * self.num_filters[0] == 128 and self.layers[0] >= 1)
+        if fused:
+            # stem-BN stats from one XLA reduction over the stem output; the
+            # BN apply itself rides block 0's conv1 prologue (se_fused.py)
+            from zerovox_tpu.ops.pallas import se_fused as sf
+
+            interpret = jax.default_backend() == "cpu"
+            B, h2, w2v, _ = x.shape
+            spec = sf.make_spec(h2, w2v, relu_out=True, interpret=interpret)
+            C0 = self.num_filters[0]
+            n = B * h2 * w2v * 4
+            gs, bs, rms, rvs = bn_stem(None, return_params=True)
+            if train:
+                xr = x.astype(jnp.float32).reshape(-1, 4, C0)
+                mean = jnp.sum(xr, axis=(0, 1)) / n
+                var = jnp.sum(xr * xr, axis=(0, 1)) / n - mean * mean
+                bn_stem(None, update_stats=(mean, var, n))
+            else:
+                mean, var = rms, rvs
+            s_in, t_in = sf.affine_packed(gs, bs, mean, var, 1e-5, 4)
+            x = jnp.pad(x, ((0, 0), (0, 0),
+                            (0, sf.stored_width(spec) - w2v), (0, 0)))
+            for b in range(self.layers[0]):
+                x = SEBasicBlock(C0, train=train, phases=4,
+                                 name=f"layer1_{b}")(
+                    x, fused_affine=(s_in, t_in), fused_spec=spec)
+                s_in = jnp.ones((1, 128), jnp.float32)
+                t_in = jnp.zeros((1, 128), jnp.float32)
+            x = x[:, :, :w2v, :]
+        else:
+            x = bn_stem(x, use_running_average=not train,
+                        phases=4 if stem_packed else 1)
+            if pack0 and not stem_packed:
+                x = _pack2x2(x)
 
         block_cls = nn.remat(SEBasicBlock) if self.remat else SEBasicBlock
         inplanes = self.num_filters[0]
         packed = pack0  # is x currently in the _pack2x2 layout?
         for stage, (blocks, planes) in enumerate(zip(self.layers, self.num_filters)):
+            if fused and stage == 0:
+                continue  # stage 1 already ran through the fused chain
             stride = 1 if stage == 0 else 2
             # extend the packed region across this stage's stride-2
             # transition, or leave it before this stage's first block

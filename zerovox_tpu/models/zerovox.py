@@ -44,6 +44,7 @@ class ZeroVox(nn.Module):
             log_input=False,
             remat=m.remat_speaker,
             packed_stages=int(m.packed_speaker),
+            fused_stage1=bool(m.fused_speaker),
         )
         if m.decoder.kind == "fastspeech2":
             self.mel_decoder = FS2Decoder(
