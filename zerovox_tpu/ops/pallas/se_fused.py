@@ -233,7 +233,7 @@ def _fwd_kernel(x_hbm, w_ref, s_ref, t_ref,
     red = jnp.sum(yv, axis=(0, 1))[None, :]
     sum_ref[:] += red
     sq_ref[:] += jnp.sum(yv * yv, axis=(0, 1))[None, :]
-    m_ref[:] += red
+    m_ref[0] += red
 
 
 # ---------------------------------------------------------- backward kernel
@@ -365,14 +365,17 @@ def _fwd_call(x, wmats, s, t, spec: ConvSpec):
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, LANES), lambda b, i: (0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, LANES), lambda b, i: (b, 0),
+            # m is [B, 1, 128] so the per-sample block (1, 1, 128) keeps its
+            # last-two dims equal to the array's (Mosaic's block-shape rule
+            # rejects a (1, 128) block over a (B, 128) array)
+            pl.BlockSpec((1, 1, LANES), lambda b, i: (b, 0, 0),
                          memory_space=pltpu.VMEM),
         ),
         out_shape=(
             jax.ShapeDtypeStruct((B, spec.h2, tw, LANES), x.dtype),
             jax.ShapeDtypeStruct((1, LANES), jnp.float32),
             jax.ShapeDtypeStruct((1, LANES), jnp.float32),
-            jax.ShapeDtypeStruct((B, LANES), jnp.float32),
+            jax.ShapeDtypeStruct((B, 1, LANES), jnp.float32),
         ),
         scratch_shapes=[
             pltpu.VMEM((spec.h2 + 2, wc, LANES), pdt),
@@ -433,12 +436,13 @@ def se_conv(x, wmats, s, t, spec: ConvSpec):
     -> y [B, H2, nw*tile, 128] (cols >= w_true zero), ssum/ssq [1, 128]
        per-packed-channel sums of y / y^2, m [B, 128] per-sample sums of y.
     """
-    return _fwd_call(x, wmats, s, t, spec)
+    y, ssum, ssq, m = _fwd_call(x, wmats, s, t, spec)
+    return y, ssum, ssq, m[:, 0, :]
 
 
 def _se_conv_fwd(x, wmats, s, t, spec):
     y, ssum, ssq, m = _fwd_call(x, wmats, s, t, spec)
-    return (y, ssum, ssq, m), (x, y, wmats, s, t)
+    return (y, ssum, ssq, m[:, 0, :]), (x, y, wmats, s, t)
 
 
 def _se_conv_bwd(spec, res, cts):
