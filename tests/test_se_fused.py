@@ -295,3 +295,88 @@ class TestModuleFusedParity:
             sc = max(np.abs(b).max(), 5e-4)
             np.testing.assert_allclose(a, b, rtol=2e-3, atol=2e-3 * sc,
                                        err_msg=str(p0))
+
+
+def test_bwd_retile_matches_spec_width():
+    """The backward re-tiles wide single-window specs (tile > 96) to fit
+    the 16 MiB scoped-VMEM stack (measured OOM at tile=176, h2=40 on v5e).
+    The derived spec must preserve stored width exactly."""
+    from zerovox_tpu.ops.pallas.se_fused import _bwd_spec
+    spec = make_spec(40, 172, relu_out=True, use_roll=False, interpret=True)
+    assert (spec.tile, spec.nw) == (176, 1)
+    b = _bwd_spec(spec)
+    assert (b.tile, b.nw) == (88, 2)
+    assert stored_width(b) == stored_width(spec)
+    # tile <= 96 passes through untouched
+    small = make_spec(8, 24, relu_out=True, use_roll=False, interpret=True)
+    assert _bwd_spec(small) is small
+
+
+def test_se_conv_vjp_retiled_backward():
+    """Gradient parity when forward runs single-window (tile=112) and the
+    backward re-tiles to 2x56 — seam handling must not double-count wgrad."""
+    x, wm, s, t = _inputs(B=1, h2=6, w2=108, seed=5)
+    spec = make_spec(6, 108, relu_out=True, use_roll=False, interpret=True)
+    assert spec.nw == 1 and spec.tile == 112
+    from zerovox_tpu.ops.pallas.se_fused import _bwd_spec
+    assert _bwd_spec(spec).nw > 1
+    tw = stored_width(spec)
+    xs = jnp.pad(x, ((0, 0), (0, 0), (0, tw - 108), (0, 0)))
+
+    rng = np.random.default_rng(11)
+    ca = jnp.asarray(rng.normal(size=(1, 6, tw, LANES)).astype(np.float32))
+    ca = ca.at[:, :, 108:, :].set(0.0)
+    cb = jnp.asarray(rng.normal(size=(1, LANES)).astype(np.float32))
+    cc = jnp.asarray(rng.normal(size=(1, LANES)).astype(np.float32))
+    cd = jnp.asarray(rng.normal(size=(1, LANES)).astype(np.float32))
+
+    def loss(fn, x_, wm_, s_, t_):
+        y, ssum, ssq, m = fn(x_, wm_, s_, t_, spec)
+        return (jnp.vdot(y, ca) + jnp.vdot(ssum, cb)
+                + jnp.vdot(ssq, cc) + jnp.vdot(m, cd))
+
+    g_k = jax.grad(lambda *a: loss(se_conv, *a), argnums=(0, 1, 2, 3))(
+        xs, wm, s, t)
+    g_r = jax.grad(lambda *a: loss(_ref_se_conv, *a), argnums=(0, 1, 2, 3))(
+        xs, wm, s, t)
+    for name, a, b in zip(("dx", "dw", "ds", "dt"), g_k, g_r):
+        a, b = np.asarray(a), np.asarray(b)
+        if name == "dx":
+            a, b = a[:, :, :108], b[:, :, :108]
+        sc = max(np.abs(b).max(), 1e-6)
+        np.testing.assert_allclose(a, b, rtol=1e-3, atol=1e-3 * sc,
+                                   err_msg=name)
+
+
+def test_se_conv_roll_bf16_inputs_staged_dma():
+    """Roll formulation with bf16 arrays: the f32 windows cannot be DMA
+    targets of bf16 HBM (tpu.enqueue_dma element-type mismatch on
+    hardware), so a same-dtype staging window + VPU cast lands the data
+    (se_fused._dma_window stage=). Covers fwd + vjp numerics of that path."""
+    x, wm, s, t = _inputs(B=1, h2=8, w2=24, seed=7)
+    spec = make_spec(8, 24, relu_out=True, use_roll=True, interpret=True)
+    tw = stored_width(spec)
+    xs = jnp.pad(x, ((0, 0), (0, 0), (0, tw - 24), (0, 0))).astype(jnp.bfloat16)
+    wmh = wm.astype(jnp.bfloat16)
+
+    y, ssum, ssq, m = se_conv(xs, wmh, s, t, spec)
+    ry, rsum, rsq, rm = _ref_se_conv(xs.astype(jnp.float32), wm, s, t, spec)
+    np.testing.assert_allclose(np.asarray(y, np.float32), np.asarray(ry),
+                               rtol=6e-2, atol=6e-2)
+
+    def loss(fn, x_, wm_):
+        y_, s_, q_, m_ = fn(x_, wm_, s, t, spec)
+        return (jnp.sum(y_.astype(jnp.float32)) + jnp.sum(s_)
+                + jnp.sum(q_) + jnp.sum(m_))
+
+    gk = jax.grad(lambda a, b: loss(se_conv, a, b), argnums=(0, 1))(xs, wmh)
+    gr = jax.grad(lambda a, b: loss(_ref_se_conv, a, b), argnums=(0, 1))(
+        xs.astype(jnp.float32), wm)
+    for name, a, b in zip(("dx", "dw"), gk, gr):
+        a = np.asarray(a, np.float32)
+        b = np.asarray(b)
+        if name == "dx":
+            a, b = a[:, :, :24], b[:, :, :24]
+        sc = max(np.abs(b).max(), 1e-6)
+        np.testing.assert_allclose(a, b, rtol=6e-2, atol=6e-2 * sc,
+                                   err_msg=name)

@@ -133,14 +133,18 @@ def _wgrad9(u_pad, g_pad, dw_ref, h2: int, wc: int, use_roll: bool):
                     (((0,), (0,)), ((), ())),
                     preferred_element_type=jnp.float32)
         return
-    g_own = g_pad[1:h2 + 1, HALO:HALO + tile, :]
+    # Mosaic's tpu.matmul rejects >1 contracting dim, so the (h2, tile)
+    # spatial contraction is flattened to a single rank-2 dim. The slices
+    # are strided in the window (tile cols out of wc), so each operand is
+    # staged through a contiguous reshape before the transposed matmul.
+    g_own = g_pad[1:h2 + 1, HALO:HALO + tile, :].reshape(h2 * tile, LANES)
     for dh in range(3):
         us_rows = u_pad[dh:dh + h2]
         for dw in range(3):
             us = us_rows[:, HALO - 1 + dw:HALO - 1 + dw + tile, :]
             dw_ref[dh * 3 + dw] += jax.lax.dot_general(
-                us, g_own,
-                (((0, 1), (0, 1)), ((), ())),
+                us.reshape(h2 * tile, LANES), g_own,
+                (((0,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32)
 
 
@@ -151,10 +155,20 @@ def _col_mask(i, tile: int, wc: int, w_true: int, dtype):
     return ((g >= 0) & (g < w_true)).astype(dtype)
 
 
-def _dma_window(src, b, i, dst, sem, h2: int, tile: int, nw: int):
+def _dma_window(src, b, i, dst, sem, h2: int, tile: int, nw: int,
+                stage=None):
     """DMA src[b, :, i*tile-HALO : i*tile+tile+HALO, :] into dst rows
     [1:h2+1], clipping at the array edges (zeros into the clipped halo).
-    Col offsets/sizes stay multiples of the 8-sublane DMA granule."""
+    Col offsets/sizes stay multiples of the 8-sublane DMA granule.
+
+    `stage`: same-window scratch in src's dtype, required when dst's dtype
+    differs (the roll formulation keeps f32 windows but the arrays are
+    bf16, and tpu.enqueue_dma rejects element-type mismatches) — the DMA
+    lands in `stage` and a VPU cast moves it into dst."""
+    if stage is not None:
+        _dma_window(src, b, i, stage, sem, h2, tile, nw)
+        dst[1:h2 + 1] = stage[1:h2 + 1].astype(dst.dtype)
+        return
     wc = tile + 2 * HALO
     if nw == 1:
         dst[1:h2 + 1, 0:HALO, :] = jnp.zeros((h2, HALO, LANES), dst.dtype)
@@ -185,13 +199,16 @@ def _dma_window(src, b, i, dst, sem, h2: int, tile: int, nw: int):
         cp.start()
         cp.wait()
 
-    @pl.when((i > 0) & (i < nw - 1))
-    def _():
-        cp = pltpu.make_async_copy(
-            src.at[b, :, pl.ds(i * tile - HALO, wc), :],
-            dst.at[1:h2 + 1, :, :], sem)
-        cp.start()
-        cp.wait()
+    if nw > 2:  # interior windows exist; offsets are dynamic in i. Mosaic
+        # cannot prove i*tile - HALO ≡ 0 (mod 8) on its own — hint it.
+        @pl.when((i > 0) & (i < nw - 1))
+        def _():
+            off = pl.multiple_of(i * tile - HALO, 8)
+            cp = pltpu.make_async_copy(
+                src.at[b, :, pl.ds(off, wc), :],
+                dst.at[1:h2 + 1, :, :], sem)
+            cp.start()
+            cp.wait()
 
 
 # ----------------------------------------------------------- forward kernel
@@ -199,8 +216,13 @@ def _dma_window(src, b, i, dst, sem, h2: int, tile: int, nw: int):
 
 def _fwd_kernel(x_hbm, w_ref, s_ref, t_ref,
                 y_ref, sum_ref, sq_ref, m_ref,
-                x_pad, sem, *,
-                h2, tile, w_true, nw, relu_out, use_roll):
+                x_pad, *scratch,
+                h2, tile, w_true, nw, relu_out, use_roll, staged=False):
+    if staged:
+        x_stage, sem = scratch
+    else:
+        (sem,) = scratch
+        x_stage = None
     b = pl.program_id(0)
     i = pl.program_id(1)
     wc = tile + 2 * HALO
@@ -216,7 +238,7 @@ def _fwd_kernel(x_hbm, w_ref, s_ref, t_ref,
     def _():
         m_ref[:] = jnp.zeros_like(m_ref)
 
-    _dma_window(x_hbm, b, i, x_pad, sem, h2, tile, nw)
+    _dma_window(x_hbm, b, i, x_pad, sem, h2, tile, nw, stage=x_stage)
 
     mask = _col_mask(i, tile, wc, w_true, jnp.float32)
     x_pad[1:h2 + 1] = ((x_pad[1:h2 + 1].astype(jnp.float32)
@@ -242,8 +264,8 @@ def _fwd_kernel(x_hbm, w_ref, s_ref, t_ref,
 def _bwd_kernel(x_hbm, y_hbm, dy_hbm, w_ref, s_ref, t_ref,
                 dsum_ref, dsq_ref, dm_ref,
                 dx_ref, dw_ref, ds_ref, dt_ref,
-                g_pad, u_pad, sem, *,
-                h2, tile, w_true, nw, relu_out, use_roll):
+                g_pad, u_pad, *scratch,
+                h2, tile, w_true, nw, relu_out, use_roll, staged=False):
     """Fused backward for one conv pass.
 
     Forward: u = x*s + t; y = relu?(conv(u)); outputs (y, sum, sq, m) where
@@ -257,6 +279,11 @@ def _bwd_kernel(x_hbm, y_hbm, dy_hbm, w_ref, s_ref, t_ref,
     gracefully to 0 instead of the true value.
     One pass loads x, y, dy once; dgrad and wgrad share the g window.
     """
+    if staged:
+        stage, sem = scratch
+    else:
+        (sem,) = scratch
+        stage = None
     b = pl.program_id(0)
     i = pl.program_id(1)
     wc = tile + 2 * HALO
@@ -273,8 +300,8 @@ def _bwd_kernel(x_hbm, y_hbm, dy_hbm, w_ref, s_ref, t_ref,
 
     # stage y into u_pad, dy into g_pad, combine into g in place, then
     # overwrite u_pad with x — no window is ever held live across a DMA
-    _dma_window(y_hbm, b, i, u_pad, sem, h2, tile, nw)
-    _dma_window(dy_hbm, b, i, g_pad, sem, h2, tile, nw)
+    _dma_window(y_hbm, b, i, u_pad, sem, h2, tile, nw, stage=stage)
+    _dma_window(dy_hbm, b, i, g_pad, sem, h2, tile, nw, stage=stage)
 
     mask = _col_mask(i, tile, wc, w_true, jnp.float32)
     yf = u_pad[1:h2 + 1].astype(jnp.float32)
@@ -286,7 +313,7 @@ def _bwd_kernel(x_hbm, y_hbm, dy_hbm, w_ref, s_ref, t_ref,
         g = g * (yf > 0).astype(jnp.float32)
     g_pad[1:h2 + 1] = (g * mask).astype(g_pad.dtype)
 
-    _dma_window(x_hbm, b, i, u_pad, sem, h2, tile, nw)
+    _dma_window(x_hbm, b, i, u_pad, sem, h2, tile, nw, stage=stage)
     u_pad[1:h2 + 1] = ((u_pad[1:h2 + 1].astype(jnp.float32)
                         * s_ref[0][None, None, :]
                         + t_ref[0][None, None, :]) * mask).astype(u_pad.dtype)
@@ -348,11 +375,19 @@ def stored_width(spec: ConvSpec) -> int:
 def _fwd_call(x, wmats, s, t, spec: ConvSpec):
     B = x.shape[0]
     tw = stored_width(spec)
-    kern = functools.partial(
-        _fwd_kernel, h2=spec.h2, tile=spec.tile, w_true=spec.w_true,
-        nw=spec.nw, relu_out=spec.relu_out, use_roll=spec.use_roll)
+    if spec.use_roll:
+        # f32 windows + staging double the roll path's VMEM stack; narrow
+        # the tile the same way the backward does (measured OOM: 18.18 MiB
+        # at tile=176, h2=40)
+        spec = _bwd_spec(spec)
+        assert stored_width(spec) == tw
     wc = spec.tile + 2 * HALO
     pdt = jnp.float32 if spec.use_roll else x.dtype
+    staged = pdt != x.dtype  # DMA needs a same-dtype landing window
+    kern = functools.partial(
+        _fwd_kernel, h2=spec.h2, tile=spec.tile, w_true=spec.w_true,
+        nw=spec.nw, relu_out=spec.relu_out, use_roll=spec.use_roll,
+        staged=staged)
     return pl.pallas_call(
         kern,
         grid=(B, spec.nw),
@@ -377,22 +412,42 @@ def _fwd_call(x, wmats, s, t, spec: ConvSpec):
             jax.ShapeDtypeStruct((1, LANES), jnp.float32),
             jax.ShapeDtypeStruct((B, 1, LANES), jnp.float32),
         ),
-        scratch_shapes=[
-            pltpu.VMEM((spec.h2 + 2, wc, LANES), pdt),
-            pltpu.SemaphoreType.DMA,
-        ],
+        scratch_shapes=[pltpu.VMEM((spec.h2 + 2, wc, LANES), pdt)]
+        + ([pltpu.VMEM((spec.h2 + 2, wc, LANES), x.dtype)] if staged else [])
+        + [pltpu.SemaphoreType.DMA],
         interpret=spec.interpret,
     )(x, wmats, s, t)
+
+
+def _bwd_spec(spec: ConvSpec) -> ConvSpec:
+    """Backward-pass tiling: the fused backward holds ~4x the forward's
+    live f32 intermediates per window (g, yf, du, x_rec all at
+    [h2, tile, 128]), so a tile that fits the forward can blow the 16 MiB
+    scoped-VMEM stack (measured: tile=176, h2=40 -> 16.84 MiB). Re-tile the
+    SAME stored width with the largest tile <= 96 that divides it — block
+    indexing and col masking are tile-agnostic, so this is purely a
+    scheduling choice."""
+    tw = stored_width(spec)
+    if spec.tile <= 96:
+        return spec
+    for t in range(96, 7, -8):
+        if tw % t == 0:
+            return spec._replace(tile=t, nw=tw // t)
+    return spec
 
 
 def _bwd_call(x, y, dy, wmats, s, t, dsum, dsq, dm, spec: ConvSpec):
     B = x.shape[0]
     tw = stored_width(spec)
-    kern = functools.partial(
-        _bwd_kernel, h2=spec.h2, tile=spec.tile, w_true=spec.w_true,
-        nw=spec.nw, relu_out=spec.relu_out, use_roll=spec.use_roll)
+    spec = _bwd_spec(spec)
+    assert stored_width(spec) == tw
     wc = spec.tile + 2 * HALO
     pdt = jnp.float32 if spec.use_roll else x.dtype
+    staged = pdt != x.dtype
+    kern = functools.partial(
+        _bwd_kernel, h2=spec.h2, tile=spec.tile, w_true=spec.w_true,
+        nw=spec.nw, relu_out=spec.relu_out, use_roll=spec.use_roll,
+        staged=staged)
     return pl.pallas_call(
         kern,
         grid=(B, spec.nw),
@@ -417,8 +472,9 @@ def _bwd_call(x, y, dy, wmats, s, t, dsum, dsq, dm, spec: ConvSpec):
         scratch_shapes=[
             pltpu.VMEM((spec.h2 + 2, wc, LANES), pdt),
             pltpu.VMEM((spec.h2 + 2, wc, LANES), pdt),
-            pltpu.SemaphoreType.DMA,
-        ],
+        ]
+        + ([pltpu.VMEM((spec.h2 + 2, wc, LANES), x.dtype)] if staged else [])
+        + [pltpu.SemaphoreType.DMA],
         interpret=spec.interpret,
     )(x, y, dy, wmats, s, t, dsum, dsq, dm)
 
