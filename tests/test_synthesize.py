@@ -110,6 +110,21 @@ class TestStreaming:
         assert len(wav_stream) == len(wav_full)
         np.testing.assert_allclose(wav_stream, wav_full, atol=1e-5)
 
+    def test_stream_matches_full_styletts(self):
+        """BASELINE config #3's decoder variant must stream sample-exact
+        too — the chunked halo math (streaming.py) is decoder-agnostic but
+        the StyleTTS decoder (reference zerovox/tts/styletts.py:142-205)
+        uses AdaIN conditioning whose receptive field must be covered."""
+        synth2 = ZeroVoxTTS.from_random(small_cfg("styletts"), SMALL_MELDEC,
+                                        seed=2)
+        spkemb = np.zeros((1, 1, synth2.cfg.model.emb_size), dtype=np.float32)
+        text = "style decoder streaming should be sample exact"
+        wav_full, _, _ = synth2.tts(text, spkemb)
+        chunks = list(synth2.tts_stream(text, spkemb, chunk_frames=32))
+        wav_stream = np.concatenate(chunks)
+        assert len(wav_stream) == len(wav_full)
+        np.testing.assert_allclose(wav_stream, wav_full, atol=1e-5)
+
     def test_first_chunk_smaller_than_total(self, synth):
         spkemb = np.zeros((1, 1, synth.cfg.model.emb_size), dtype=np.float32)
         gen = synth.tts_stream("a reasonably long sentence for chunking purposes", spkemb, chunk_frames=32)

@@ -8,6 +8,19 @@ sample-exact w.r.t. a full-utterance render (the HiFi-GAN generator is purely
 convolutional, hence spatially local), and first audio arrives after one
 small fixed-shape XLA program instead of the full utterance.
 
+Boundary subtlety: halo-and-trim is exact only where the halo holds REAL
+mel context. At the utterance start there is none, and a zero halo is NOT
+equivalent — conv biases make intermediate activations nonzero over an
+explicit zero prefix, while the full render's per-layer implicit padding
+stays zero at every depth, so prepend-and-trim drifts over the first
+~receptive-field frames. The first window therefore starts at mel[0] with
+no left halo (see ChunkStreamer.dispatch). The symmetric right-edge case
+is benign in practice: past mel_len both paths see the same explicit
+zeros (the decoder masks the bucket tail), so they only diverge when
+mel_len reaches within one receptive field of the BUCKET end — there the
+full render's implicit edge shows through; the error is confined to the
+final ~RF output frames of a bucket-full utterance.
+
 Every chunk runs the same (chunk + 2*halo)-frame program, and the chunk
 window is sliced out of the decoder's mel *on device* with a dynamic slice —
 the mel never round-trips to the host, only the audio chunks come back.
@@ -65,20 +78,34 @@ class ChunkStreamer:
         self._run = _window_vocoder(meldec, self.window, wire_i16)
 
     def dispatch(self, pos: int):
-        """Asynchronously start vocoding the window at mel position `pos`,
-        and start its device->host copy as soon as the program completes —
-        on tunneled backends the copy (~33 ms RTT) then overlaps whatever
-        the host does next (the duration sync, the previous chunk's yield)
-        instead of serializing behind it."""
-        out = self._run(self._vars, self._mel_padded, pos)
+        """Asynchronously start vocoding the window for the chunk starting
+        at mel position `pos`, and start its device->host copy as soon as
+        the program completes — on tunneled backends the copy (~33 ms RTT)
+        then overlaps whatever the host does next (the duration sync, the
+        previous chunk's yield) instead of serializing behind it.
+
+        pos == 0 (utterance start) anchors the window AT mel[0] with no
+        left halo: a zero halo is NOT equivalent to the full render there.
+        Each conv layer's implicit padding is zero at every depth, but an
+        explicit zero-prepended input develops nonzero activations in the
+        halo (conv biases, leaky-relu of them) that deeper layers read —
+        so prepend-and-trim diverges from the full render over the first
+        ~receptive-field frames (caught by the styletts streaming test,
+        whose mel is loud at frame 0; fs2's near-silent opening frames hid
+        it). Starting window 0 at mel[0] reproduces the full render's
+        implicit left edge exactly; trim() then trims nothing on the left."""
+        start = self.halo if pos == 0 else pos
+        out = self._run(self._vars, self._mel_padded, start)
         try:
             out.copy_to_host_async()
         except Exception:
             pass  # backend without async host copies
         return out
 
-    def trim(self, wav, n_frames: int) -> np.ndarray:
-        start_s = self.halo * self.up
+    def trim(self, wav, n_frames: int, pos: int = None) -> np.ndarray:
+        """`pos` is the chunk's mel position (see dispatch: the utterance-
+        start window carries no left halo). Defaults to an interior chunk."""
+        start_s = 0 if pos == 0 else self.halo * self.up
         out = np.asarray(wav)[0, start_s : start_s + n_frames * self.up]
         if self._wire_i16:
             out = out.astype(np.float32) / 32760.0
@@ -94,7 +121,7 @@ class ChunkStreamer:
         while pending_pos < mel_len:
             end = min(pending_pos + self.chunk, mel_len)
             nxt = self.dispatch(end) if end < mel_len else None
-            yield self.trim(pending, end - pending_pos)
+            yield self.trim(pending, end - pending_pos, pos=pending_pos)
             pending, pending_pos = nxt, end
 
 
