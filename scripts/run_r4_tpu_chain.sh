@@ -23,7 +23,8 @@ run_chunk() {
     local ck
     ck=$(ls "$WORK"/model/checkpoints/*.msgpack 2>/dev/null | sort | tail -1)
     echo "=== chunk $n from $ck ==="
-    ZEROVOX_PREPROCESSED_DATA_PATH="$WORK/pp" PYTHONPATH="$REPO" \
+    ZEROVOX_PREPROCESSED_DATA_PATH="$WORK/pp" \
+    PYTHONPATH="$REPO${PYTHONPATH:+:$PYTHONPATH}" \
     python -m zerovox_tpu.cli.train \
         -c "$WORK/modelcfg.yaml" "$WORK/corpus.yaml" \
         --out-folder "$WORK/model" --accelerator tpu --devices 1 \
