@@ -152,7 +152,7 @@ def main():
     direct_wall = []
     for _ in range(args.iters):
         t0 = time.perf_counter()
-        wav, _ = synth.tts(TEXT, emb)
+        wav, _, _ = synth.tts(TEXT, emb)
         np.asarray(wav)
         direct_wall.append((time.perf_counter() - t0) * 1000)
     results["single"] = {

@@ -99,6 +99,44 @@ class TestDynamicBatcher:
         finally:
             b.close()
 
+    def test_idle_backoff_shrinks_window(self):
+        # sparse traffic: after each single-request window the coalescing
+        # delay halves (floored), so lone requests stop paying max_delay
+        b = DynamicBatcher(FakeEngine(), max_batch=4, max_delay_ms=40)
+        try:
+            assert b._cur_delay_s == pytest.approx(0.040)
+            for _ in range(3):
+                b.submit("a", EMB).result(timeout=5)
+            assert b._cur_delay_s <= 0.040 / 8 + 1e-9
+            for _ in range(10):  # floor, never zero
+                b.submit("a", EMB).result(timeout=5)
+            assert b._cur_delay_s == pytest.approx(DynamicBatcher.MIN_DELAY_S)
+            # a shrunken window still resolves promptly end-to-end
+            t0 = time.monotonic()
+            b.submit("abc", EMB).result(timeout=5)
+            assert time.monotonic() - t0 < 0.040
+        finally:
+            b.close()
+
+    def test_backoff_resets_on_coalesced_window(self):
+        # burst traffic restores the full window: once a window actually
+        # groups >=2 requests the delay snaps back to max_delay_ms
+        eng = FakeEngine(delay_s=0.1)
+        b = DynamicBatcher(eng, max_batch=8, max_delay_ms=40)
+        try:
+            for _ in range(6):  # shrink to the floor first
+                b.submit("a", EMB).result(timeout=5)
+            assert b._cur_delay_s == pytest.approx(DynamicBatcher.MIN_DELAY_S)
+            # while the engine sleeps on the first dispatch, queue a burst:
+            # the next window finds them already waiting and coalesces
+            futs = [b.submit("x" * (i + 1), EMB) for i in range(5)]
+            for f in futs:
+                f.result(timeout=10)
+            assert b.stats.max_batch_seen >= 2
+            assert b._cur_delay_s == pytest.approx(0.040)
+        finally:
+            b.close()
+
     def test_close_rejects_new_submits(self):
         b = DynamicBatcher(FakeEngine(), max_batch=2, max_delay_ms=5)
         b.close()
