@@ -376,10 +376,12 @@ def _avg_pool1d(x, kernel: int, stride: int, padding: int):
 
 
 class MultiScaleDiscriminator(nn.Module):
+    num_scales: int = 3
+
     @nn.compact
     def __call__(self, y, y_hat):
         y_d_rs, y_d_gs, fmap_rs, fmap_gs = [], [], [], []
-        for i in range(3):
+        for i in range(self.num_scales):
             if i != 0:
                 y = _avg_pool1d(y, 4, 2, 2)
                 y_hat = _avg_pool1d(y_hat, 4, 2, 2)

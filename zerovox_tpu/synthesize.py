@@ -722,8 +722,28 @@ class ZeroVoxTTS:
     @staticmethod
     def _load_meldec(meldec_model, embedded_state_dict=None, verbose=False):
         """HiFi-GAN config.json + generator.ckpt from a local dir or the hub
-        (reference zerovox/tts/model.py:86-118); weight norm folded at import."""
+        (reference zerovox/tts/model.py:86-118); weight norm folded at import.
+
+        A dir holding `generator.msgpack` (written by zerovox-train-vocoder,
+        training/vocoder.py) loads natively — an in-repo-trained vocoder is
+        a drop-in meldec for demo/serving/streaming."""
         from zerovox_tpu.checkpoint import _SD, convert_hifigan_generator
+
+        if meldec_model and os.path.isdir(str(meldec_model)) and (
+                Path(meldec_model) / "generator.msgpack").exists():
+            from zerovox_tpu.training.checkpointing import load_native_checkpoint
+
+            with open(Path(meldec_model) / "config.json") as f:
+                meldec_cfg = HifiGanConfig.from_dict(json.loads(f.read()))
+            if verbose:
+                print("meldec: native checkpoint: ",
+                      Path(meldec_model) / "generator.msgpack")
+            gen_params = load_native_checkpoint(
+                Path(meldec_model) / "generator.msgpack")["params"]
+            mean = np.zeros(meldec_cfg.num_mels, np.float32)
+            scale = np.ones(meldec_cfg.num_mels, np.float32)
+            return meldec_cfg, {"params": {"generator": gen_params,
+                                           "mean": mean, "scale": scale}}
 
         if meldec_model and os.path.isdir(str(meldec_model)):
             config_path = Path(meldec_model) / "config.json"
