@@ -94,9 +94,27 @@ def _speakers():
     return {os.path.splitext(os.path.basename(p))[0]: p for p in wavs}
 
 
-def phase_build(work: str):
+def speed_perturb(wav: np.ndarray, factor: float) -> np.ndarray:
+    """Resampling-based speed/pitch perturbation (the classic low-resource
+    augmentation: play the recording at `factor` speed, shifting pitch by
+    the same factor — sox `speed`). Linear interpolation is plenty at
+    these factors."""
+    n = int(len(wav) / factor)
+    return np.interp(np.arange(n) * factor,
+                     np.arange(len(wav)), wav).astype(np.float32)
+
+
+def phase_build(work: str, augment: str = ""):
+    """`augment`: comma-separated speed factors (e.g. "0.9,1.1") — each
+    TRAIN segment additionally enters the corpus at those speeds,
+    re-transcribed by the same unit inventory (the perturbed audio is a
+    new observation, so it flows through the full self-labeling pipeline).
+    Held-out speakers are never augmented. VERDICT r4 task #7: multiply
+    training items >=3x and add register spread around each real voice."""
     from zerovox_tpu.dsp.audio import load_wav, save_wav
     from zerovox_tpu.preprocess import units
+
+    factors = [float(f) for f in augment.split(",") if f] if augment else []
 
     spk = _speakers()
     names = sorted(spk)
@@ -129,21 +147,28 @@ def phase_build(work: str):
     centroids = units.fit_units(feats, k=26, seed=0, iters=25)
     units.save_units(os.path.join(work, "units.npz"), centroids)
 
-    # pass 2: transcripts + corpus/eval split
+    # pass 2: transcripts + corpus/eval split (+ train-side augmentation)
     meta, eval_items = [], []
     for name in names:
+        variants = [("", 1.0)]
+        if name in train_spk:
+            variants += [(f".sp{int(round(f * 100)):03d}", f)
+                         for f in factors]
         for i, (w16, wsr) in enumerate(seg16[name]):
-            text = units.transcribe(w16, centroids)
-            if len(text.replace(" ", "")) < 5:
-                continue
-            base = f"{name}_{i:02d}"
-            save_wav(os.path.join(corpus, "wavs", f"{base}.wav"),
-                     wsr, segsr[name])
-            row = {"base": base, "speaker": name, "text": text}
-            if name in heldout:
-                eval_items.append(row)
-            else:
-                meta.append(row)
+            for tag, f in variants:
+                p16 = w16 if f == 1.0 else speed_perturb(w16, f)
+                psr = wsr if f == 1.0 else speed_perturb(wsr, f)
+                text = units.transcribe(p16, centroids)
+                if len(text.replace(" ", "")) < 5:
+                    continue
+                base = f"{name}{tag}_{i:02d}"
+                save_wav(os.path.join(corpus, "wavs", f"{base}.wav"),
+                         psr, segsr[name])
+                row = {"base": base, "speaker": name + tag, "text": text}
+                if name in heldout:
+                    eval_items.append(row)
+                else:
+                    meta.append(row)
 
     with open(os.path.join(corpus, "metadata.csv"), "w") as f:
         for r in meta:
@@ -291,7 +316,36 @@ def _extract_eval_features(work: str):
     return out_dir
 
 
-def phase_eval(work: str, accelerator: str) -> dict:
+def wilson_ci(k: int, n: int, z: float = 1.96) -> tuple[float, float]:
+    """95% Wilson score interval for a binomial proportion."""
+    if n == 0:
+        return 0.0, 1.0
+    p = k / n
+    d = 1 + z * z / n
+    c = (p + z * z / (2 * n)) / d
+    h = z * np.sqrt(p * (1 - p) / n + z * z / (4 * n * n)) / d
+    return float(c - h), float(c + h)
+
+
+def binom_p_ge(k: int, n: int, p: float) -> float:
+    """Exact one-sided binomial P[X >= k | n, p]."""
+    from math import comb
+
+    return float(sum(comb(n, i) * p**i * (1 - p) ** (n - i)
+                     for i in range(k, n + 1)))
+
+
+def phase_eval(work: str, accelerator: str, vocoder: str | None = None) -> dict:
+    """Widened zero-shot eval (VERDICT r4 task #1): every ordered
+    (ref segment, target segment) pair of every held-out speaker is one
+    eval item (>=20 items vs round 4's 7); identity is scored both against
+    the held-out cohort and against ALL speakers (held-out + train
+    enrollments — collapse onto a seen voice scores 0); the conditioning
+    margin compares self-conditioning against EVERY other held-out voice,
+    not one random pick. Binomial Wilson CIs + exact p-values throughout.
+    `vocoder`: dir with a trained generator (config.json +
+    generator.msgpack, zerovox-train-vocoder) — listening copies are then
+    vocoded instead of Griffin-Lim."""
     import jax
 
     if accelerator == "cpu":
@@ -301,7 +355,6 @@ def phase_eval(work: str, accelerator: str) -> dict:
     from zerovox_tpu.dsp.griffinlim import GriffinLim
     from zerovox_tpu.dsp.audio import save_wav
     from zerovox_tpu.models.zerovox import ZeroVox
-    from zerovox_tpu.symbols import Symbols
     from zerovox_tpu.training.checkpointing import load_native_checkpoint
     from zerovox_tpu.training.data import (MEL_BUCKETS, PHONEME_BUCKETS,
                                            _bucket)
@@ -311,7 +364,6 @@ def phase_eval(work: str, accelerator: str) -> dict:
     with open(os.path.join(work, "model", "modelcfg.yaml")) as f:
         modelcfg = yaml.load(f, Loader=yaml.FullLoader)
     cfg = ZeroVoxConfig.from_dict(modelcfg)
-    symbols = Symbols(PHONES, PUNCTS)
     ckpt_dir = os.path.join(work, "model", "checkpoints")
     newest = sorted(f for f in os.listdir(ckpt_dir)
                     if f.endswith(".msgpack"))[-1]
@@ -340,18 +392,61 @@ def phase_eval(work: str, accelerator: str) -> dict:
     by_spk: dict[str, list] = {}
     for it in items:
         by_spk.setdefault(it["speaker"], []).append(it)
-    # need >= 2 segments per speaker: one for the embedding, others for eval
-    by_spk = {k: v for k, v in by_spk.items() if len(v) >= 2}
-    print(f"eval speakers with >=2 segments: {sorted(by_spk)}")
+    pairable = {k: v for k, v in by_spk.items() if len(v) >= 2}
+    print(f"held-out speakers: {sorted(by_spk)}; "
+          f"cross-pairable (>=2 segments): {sorted(pairable)}")
+
+    REF_LEN = 500  # the training ref-crop length (data.py MAX_REF_LEN):
+    # fixed-length tiled crops keep speaker_embed ONE compiled program
+    # across the ~170 embeddings this eval makes (variable-length mels
+    # would compile per distinct length on this backend) and match the
+    # crop distribution the encoder was trained on
 
     def embed(mel):
+        t = mel.shape[0]
+        if t >= REF_LEN:
+            m = mel[:REF_LEN]
+        else:
+            m = np.tile(mel, (int(np.ceil(REF_LEN / t)), 1))[:REF_LEN]
         return np.asarray(model.apply(
-            variables, mel[None].astype(np.float32), train=False,
+            variables, m[None].astype(np.float32), train=False,
             method=ZeroVox.speaker_embed))[0, 0]
 
-    # reference embeddings: segment 0 of each held-out speaker (never
-    # trained, never used as a synthesis target below)
-    ref_emb = {s: embed(v[0]["mel"]) for s, v in by_spk.items()}
+    # per-segment embeddings of every held-out speaker (1-segment speakers
+    # still serve as identity distractors)
+    seg_emb = {s: [embed(it["mel"]) for it in v] for s, v in by_spk.items()}
+
+    # train-speaker enrollments from the TRAINING feature store (original,
+    # non-augmented items only): the full-candidate identity check must
+    # include every voice the model actually saw
+    train_enroll = {}
+    pp = os.path.join(work, "pp", "real")
+    tt = os.path.join(pp, "train.txt")
+    if os.path.exists(tt):
+        per_spk: dict[str, list] = {}
+        with open(tt) as f:
+            for line in f:
+                base = os.path.splitext(line.split("|")[0])[0]
+                spk = base.rsplit("_", 1)[0]
+                if ".sp" in spk:  # skip speed-perturbed pseudo-speakers
+                    continue
+                per_spk.setdefault(spk, []).append(base)
+        for spk, bases in per_spk.items():
+            embs = []
+            for b in bases[:2]:
+                mp = os.path.join(pp, "mel", f"mel-{b}.npy")
+                if os.path.exists(mp):
+                    embs.append(embed(np.load(mp)))
+            if embs:
+                e = np.mean(embs, axis=0)
+                train_enroll[spk] = e / max(np.linalg.norm(e), 1e-9)
+
+    def enroll(s: str, exclude_idx: int = -1) -> np.ndarray:
+        """Held-out speaker enrollment: normalized mean over its segment
+        embeddings, excluding the target segment (no target leakage)."""
+        embs = [e for i, e in enumerate(seg_emb[s]) if i != exclude_idx]
+        e = np.mean(embs, axis=0)
+        return e / max(np.linalg.norm(e), 1e-9)
 
     def synth_mel(it, spk_vec):
         L = _bucket(len(it["phones"]), PHONEME_BUCKETS)
@@ -374,60 +469,126 @@ def phase_eval(work: str, accelerator: str) -> dict:
                                 T, method=ZeroVox.decode)
         return np.asarray(mel)[0, :n_frames]
 
-    spk_names = sorted(by_spk)
-    rng = np.random.default_rng(0)
+    spk_names = sorted(pairable)
     results = []
-    gl = GriffinLim(n_iter=32)
     listen_dir = os.path.join(work, "listen")
     os.makedirs(listen_dir, exist_ok=True)
     wrote_listen = 0
 
+    if vocoder:
+        from zerovox_tpu.models.hifigan import MelDec
+        from zerovox_tpu.synthesize import ZeroVoxTTS
+
+        md_cfg, md_vars = ZeroVoxTTS._load_meldec(vocoder)
+        md = MelDec(md_cfg)
+
+        def render(mel):
+            # pad frames to a 64-multiple so the heavy generator compiles
+            # once per bucket, not once per utterance length (tunneled
+            # backends pay minutes per compile); trim to true samples
+            t = mel.shape[0]
+            tp = ((t + 63) // 64) * 64
+            mp = np.pad(mel, ((0, tp - t), (0, 0)), mode="edge")
+            wav = np.asarray(md.apply(
+                md_vars, mp[None].astype(np.float32),
+                normalize_before=True))[0]
+            return wav[: t * md_cfg.total_upsample]
+    else:
+        gl = GriffinLim(n_iter=32)
+        render = gl
+
+    # wrong-speaker synths depend only on (target, wrong speaker): cache
+    # across ref pairings
+    wrong_cache: dict[tuple, np.ndarray] = {}
+
     for s in spk_names:
-        for it in by_spk[s][1:]:
-            mel_self = synth_mel(it, ref_emb[s])
-            gt = it["mel"][: mel_self.shape[0]]
-            l1_self = float(np.abs(mel_self - gt).mean())
+        segs = by_spk[s]
+        for ti, it in enumerate(segs):
+            gt = it["mel"]
+            others = [w for w in spk_names if w != s]
+            l1_wrong = {}
+            for w in others:
+                key = (it["base"], w)
+                if key not in wrong_cache:
+                    wrong_cache[key] = synth_mel(it, seg_emb[w][0])
+                mw = wrong_cache[key]
+                l1_wrong[w] = float(np.abs(mw - gt[: mw.shape[0]]).mean())
 
-            # conditioning margin vs a wrong speaker's embedding
-            other = spk_names[(spk_names.index(s) + 1 + int(rng.integers(
-                0, len(spk_names) - 1))) % len(spk_names)]
-            if other == s:
-                other = spk_names[(spk_names.index(s) + 1) % len(spk_names)]
-            mel_other = synth_mel(it, ref_emb[other])
-            l1_other = float(np.abs(mel_other - gt).mean())
+            for ri, ref in enumerate(segs):
+                if ri == ti:
+                    continue
+                mel_self = synth_mel(it, seg_emb[s][ri])
+                gtc = gt[: mel_self.shape[0]]
+                l1_self = float(np.abs(mel_self - gtc).mean())
 
-            # speaker-verification identity of the synthesized mel
-            e_syn = embed(mel_self)
-            cosines = {w: float(e_syn @ ref_emb[w]) for w in spk_names}
-            nearest = max(cosines, key=cosines.get)
+                # speaker-verification identity of the synthesized mel
+                e_syn = embed(mel_self)
+                cos_ho = {w: float(e_syn @ enroll(w, exclude_idx=ti
+                                                  if w == s else -1))
+                          for w in by_spk}
+                nearest_ho = max(cos_ho, key=cos_ho.get)
+                cos_full = dict(cos_ho)
+                for w, e in train_enroll.items():
+                    cos_full[f"train:{w}"] = float(e_syn @ e)
+                nearest_full = max(cos_full, key=cos_full.get)
 
-            results.append({
-                "item": it["base"], "speaker": s,
-                "l1_self_cond": l1_self, "l1_wrong_cond": l1_other,
-                "wrong_speaker": other,
-                "sv_nearest": nearest, "sv_self_cos": cosines[s],
-                "sv_best_other_cos": max(v for w, v in cosines.items()
-                                         if w != s),
-            })
-            if wrote_listen < 6:
-                save_wav(os.path.join(listen_dir, f"{it['base']}_synth.wav"),
-                         gl(mel_self), SR)
-                save_wav(os.path.join(listen_dir, f"{it['base']}_gt.wav"),
-                         gl(gt), SR)
-                wrote_listen += 1
+                wins = sum(l1_self < l1_wrong[w] for w in others)
+                results.append({
+                    "item": it["base"], "ref": ref["base"], "speaker": s,
+                    "l1_self_cond": l1_self,
+                    "l1_wrong_mean": float(np.mean(list(l1_wrong.values()))),
+                    "margin_wins": wins, "margin_n": len(others),
+                    "sv_nearest_heldout": nearest_ho,
+                    "sv_nearest_full": nearest_full,
+                    "sv_self_cos": cos_ho[s],
+                    "sv_best_other_cos": max(v for w, v in cos_ho.items()
+                                             if w != s),
+                })
+                if wrote_listen < 6 and ri == (1 if ti == 0 else 0):
+                    save_wav(os.path.join(
+                        listen_dir, f"{it['base']}_synth.wav"),
+                        render(mel_self), SR)
+                    save_wav(os.path.join(listen_dir, f"{it['base']}_gt.wav"),
+                             render(gtc), SR)
+                    wrote_listen += 1
 
+    n = len(results)
+    k_ho = sum(r["sv_nearest_heldout"] == r["speaker"] for r in results)
+    k_full = sum(r["sv_nearest_full"] == r["speaker"] for r in results)
+    k_allwin = sum(r["margin_wins"] == r["margin_n"] for r in results)
+    wins_total = sum(r["margin_wins"] for r in results)
+    cmp_total = sum(r["margin_n"] for r in results)
+    n_cand_full = len(by_spk) + len(train_enroll)
     summary = {
         "checkpoint": newest,
-        "n_eval_items": len(results),
-        "n_heldout_speakers": len(spk_names),
-        "sv_identity_accuracy": float(np.mean(
-            [r["sv_nearest"] == r["speaker"] for r in results])),
-        "cond_margin_winrate": float(np.mean(
-            [r["l1_self_cond"] < r["l1_wrong_cond"] for r in results])),
+        "n_eval_items": n,
+        "n_heldout_speakers": len(by_spk),
+        "n_pairable_speakers": len(spk_names),
+        "n_candidates_full": n_cand_full,
+        "sv_identity_heldout": {
+            "accuracy": k_ho / n, "k": k_ho, "n": n,
+            "chance": 1 / len(by_spk),
+            "wilson95": wilson_ci(k_ho, n),
+            "p_value_vs_chance": binom_p_ge(k_ho, n, 1 / len(by_spk))},
+        "sv_identity_full": {
+            "accuracy": k_full / n, "k": k_full, "n": n,
+            "chance": 1 / n_cand_full,
+            "wilson95": wilson_ci(k_full, n),
+            "p_value_vs_chance": binom_p_ge(k_full, n, 1 / n_cand_full)},
+        "cond_margin": {
+            "pairwise_winrate": wins_total / max(cmp_total, 1),
+            "wins": wins_total, "comparisons": cmp_total,
+            "items_beating_all_wrong": k_allwin,
+            "allwin_rate": k_allwin / n,
+            "allwin_chance": 1 / (len(spk_names)),
+            "allwin_p_value": binom_p_ge(k_allwin, n, 1 / len(spk_names)),
+            "note": "items sharing a target segment are correlated; "
+                    "p-values are upper bounds on independence"},
         "l1_self_cond_mean": float(np.mean(
             [r["l1_self_cond"] for r in results])),
         "l1_wrong_cond_mean": float(np.mean(
-            [r["l1_wrong_cond"] for r in results])),
+            [r["l1_wrong_mean"] for r in results])),
+        "vocoder": vocoder or "griffinlim",
         "results": results,
     }
     return summary
@@ -444,18 +605,26 @@ def main():
     ap.add_argument("--train", action="store_true")
     ap.add_argument("--eval", action="store_true")
     ap.add_argument("--all", action="store_true")
+    ap.add_argument("--augment", default="",
+                    help="comma-separated speed-perturbation factors for "
+                         "the training split, e.g. '0.9,1.1' (3x corpus)")
+    ap.add_argument("--vocoder", default=None,
+                    help="trained vocoder dir (config.json + "
+                         "generator.msgpack) for listening renders; "
+                         "default Griffin-Lim")
     ap.add_argument("--out-json", default=None)
     args = ap.parse_args()
 
     os.makedirs(args.work, exist_ok=True)
     if args.build or args.all:
-        phase_build(args.work)
+        phase_build(args.work, augment=args.augment)
     if args.preprocess or args.all:
         phase_preprocess(args.work)
     if args.train or args.all:
         phase_train(args.work, args.accelerator, args.epochs, args.batch_size)
     if args.eval or args.all:
-        summary = phase_eval(args.work, args.accelerator)
+        summary = phase_eval(args.work, args.accelerator,
+                             vocoder=args.vocoder)
         print(json.dumps({k: v for k, v in summary.items()
                           if k != "results"}, indent=2))
         out = args.out_json or os.path.join(args.work, "real_eval.json")
