@@ -66,8 +66,17 @@ def make_voice(name: str, f0_scale: float, timbre: float,
                      vibrato_depth=vib_depth)
 
 
-def voice_bank():
-    """(train_voices, heldout_voices) dicts name->VoiceSpec."""
+def voice_bank(extended: bool = False):
+    """(train_voices, heldout_voices) dicts name->VoiceSpec.
+
+    `extended` (round 5, VERDICT r4 task #3) adds 3 training voices OUTSIDE
+    the original 0.55-2.10 register range so that the two "extrapolated"
+    held-out voices (0.45, 2.50) fall INSIDE the training span
+    (0.38..2.75): if corpus register coverage is really the lever the
+    round-4 analysis named, the extrap cohort must flip to
+    interpolated-level identity. Held-out voices and cohort labels are
+    unchanged so the comparison against docs/convergence_cloning_r4b.json
+    is direct."""
     n = 16
     scales = np.geomspace(0.55, 2.10, n)
     train = {}
@@ -77,6 +86,10 @@ def voice_bank():
         vr = 4.2 + 2.3 * (((i * 5) % n) / (n - 1))
         vd = 0.007 + 0.010 * (((i * 3) % n) / (n - 1))
         train[f"tr{i:02d}"] = make_voice(f"tr{i:02d}", float(s), t, vr, vd)
+    if extended:
+        train["tx00"] = make_voice("tx00", 0.38, 0.40, 4.8, 0.009)
+        train["tx01"] = make_voice("tx01", 2.45, 0.65, 5.5, 0.012)
+        train["tx02"] = make_voice("tx02", 2.75, 0.25, 4.4, 0.014)
     heldout = {
         # interpolated registers (between train scales), novel timbre mixes
         "ho_i0": make_voice("ho_i0", 0.72, 0.30, 5.1, 0.012),
@@ -94,13 +107,15 @@ N_TRAIN_TEXTS = 20
 N_EVAL_TEXTS = 5  # texts 0,1 -> unseen reference wavs; 2..4 -> synthesis eval
 
 
-def phase_gen(work: str):
+def phase_gen(work: str, extended: bool = False):
     from zerovox_tpu.dsp.audio import save_wav
     from zerovox_tpu.symbols import Symbols
     from zerovox_tpu.text.tokenizer import transcript2phonemids
 
     symbols = Symbols(PHONES, PUNCTS)
-    train_voices, heldout_voices = voice_bank()
+    with open(os.path.join(work, "bank.json"), "w") as f:
+        json.dump({"extended_registers": extended}, f)
+    train_voices, heldout_voices = voice_bank(extended)
     pp = os.path.join(work, "pp", "cloning")
     for d in ["mel", "pitch", "energy", "duration"]:
         os.makedirs(os.path.join(pp, d), exist_ok=True)
@@ -183,7 +198,12 @@ def phase_eval(work: str, accelerator: str) -> dict:
     from zerovox_tpu.training.data import (MEL_BUCKETS, PHONEME_BUCKETS,
                                            _bucket)
 
-    train_voices, heldout_voices = voice_bank()
+    extended = False
+    bank_p = os.path.join(work, "bank.json")
+    if os.path.exists(bank_p):
+        with open(bank_p) as f:
+            extended = bool(json.load(f).get("extended_registers", False))
+    train_voices, heldout_voices = voice_bank(extended)
     all_voices = {**train_voices, **heldout_voices}
 
     with open(os.path.join(work, "model", "modelcfg.yaml")) as f:
@@ -309,6 +329,7 @@ def phase_eval(work: str, accelerator: str) -> dict:
 
     summary = {
         "checkpoint": newest,
+        "extended_registers": extended,
         "n_candidate_voices": len(all_voices),
         "cohorts": {c: cohort_summary(c)
                     for c in ("train", "interp", "extrap")},
@@ -330,12 +351,15 @@ def main():
     ap.add_argument("--train", action="store_true")
     ap.add_argument("--eval", action="store_true")
     ap.add_argument("--all", action="store_true")
+    ap.add_argument("--extended-registers", action="store_true",
+                    help="add 3 train voices outside 0.55-2.10 (register-"
+                         "coverage lever test, round 5)")
     ap.add_argument("--out-json", default=None)
     args = ap.parse_args()
 
     os.makedirs(args.work, exist_ok=True)
     if args.gen or args.all:
-        phase_gen(args.work)
+        phase_gen(args.work, extended=args.extended_registers)
     if args.train or args.all:
         phase_train(args.work, args.accelerator, args.epochs,
                     args.batch_size)
