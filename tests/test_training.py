@@ -137,6 +137,55 @@ class TestDataModule:
         x, y = batches[0]
         assert x["phoneme"].shape[0] == 8
 
+    def test_device_cache_matches_host_path_exactly(self, corpus_dir):
+        """The device-resident gather path must replay the host collate
+        path bit-exactly: same epoch-seeded batch order, same bucket
+        shapes, same ref-mel crop offsets (same child-rng streams) — the
+        guarantee that lets a run switch loader modes between restart
+        chunks without perturbing what it trains on."""
+        corpora = [{"language": "en", "path": {"preprocessed_path": "test_corpus"}}]
+        stats = {"pitch_min": 50.0, "pitch_max": 400.0,
+                 "energy_min": 0.1, "energy_max": 50.0}
+        kw = dict(batch_size=4, num_workers=2, base_path=corpus_dir,
+                  ref_mel_len=64)
+        host = SpeechDataModule(corpora, Symbols(PHONES, PUNCTS), stats=stats, **kw)
+        host.prepare_data()
+        dev = SpeechDataModule(corpora, Symbols(PHONES, PUNCTS), stats=stats,
+                               device_cache=True, **kw)
+        dev.prepare_data()
+        for epoch in (0, 3):
+            hb = list(host.train_dataloader(epoch=epoch))
+            db = list(dev.train_dataloader(epoch=epoch))
+            assert len(hb) == len(db) > 1
+            for (hx, hy), (dx, dy) in zip(hb, db):
+                for k in ("phoneme", "puncts", "phoneme_len", "phoneme_mask",
+                          "mel_len", "mel_mask", "pitch", "energy",
+                          "duration", "ref_mel"):
+                    np.testing.assert_array_equal(
+                        np.asarray(hx[k]), np.asarray(dx[k]), err_msg=k)
+                np.testing.assert_array_equal(np.asarray(hy["mel"]),
+                                              np.asarray(dy["mel"]))
+
+    def test_device_cache_train_step(self, corpus_dir):
+        """A jitted train step consumes device-cached batches unchanged."""
+        corpora = [{"language": "en", "path": {"preprocessed_path": "test_corpus"}}]
+        stats = {"pitch_min": 50.0, "pitch_max": 400.0,
+                 "energy_min": 0.1, "energy_max": 50.0}
+        dm = SpeechDataModule(corpora, Symbols(PHONES, PUNCTS), stats=stats,
+                              batch_size=8, base_path=corpus_dir,
+                              ref_mel_len=64, device_cache=True)
+        dm.prepare_data()
+        cfg = tiny_cfg()
+        mesh = make_mesh(MeshConfig(data=8), devices=jax.devices()[:8])
+        tcfg = TrainerConfig(max_epochs=1, warmup_epochs=1, batch_size=8,
+                             out_folder="/tmp/zvx_test_devcache", seed=0)
+        trainer = Trainer(cfg, tcfg, steps_per_epoch=1, mesh=mesh)
+        batch = device_batch(next(iter(dm.train_dataloader(epoch=0))))
+        state = trainer.init_state(batch)
+        state2, losses = trainer._train_step(
+            state, batch, jax.random.PRNGKey(0))
+        assert np.isfinite(float(losses["loss"]))
+
 
 class TestTrainer:
     def test_train_steps_reduce_loss(self, datamodule):

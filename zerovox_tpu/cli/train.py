@@ -112,6 +112,15 @@ def get_args(argv=None):
                              "trip per conv, BN stats + SE squeeze in conv "
                              "epilogues, custom-VJP backward; identical math "
                              "+ checkpoints). Requires --packed-speaker >= 1")
+    parser.add_argument("--data-device-cache", default="auto",
+                        choices=["auto", "on", "off"],
+                        help="keep the whole bucket-padded feature corpus "
+                             "resident in HBM and gather batches on device "
+                             "(per-step host transfer drops from MBs to the "
+                             "index vector; removes the host-feed bottleneck "
+                             "on tunneled TPU runtimes). auto = on for "
+                             "single-process accelerator runs; corpora over "
+                             "the HBM budget fall back to host loading")
     parser.add_argument("--max-epochs", type=int, default=40)
     parser.add_argument("--warmup-epochs", type=int, default=2)
     parser.add_argument("--batch-size", type=int, default=24,
@@ -246,11 +255,21 @@ def main(argv=None):
 
     import jax
 
+    if args.data_device_cache == "auto":
+        # the cache pays off when per-step host->device transfer is the
+        # bottleneck (any real accelerator, and especially tunneled ones);
+        # multi-process runs keep host loading (process-local shard batching)
+        use_device_cache = (jax.default_backend() != "cpu"
+                            and jax.process_count() == 1)
+    else:
+        use_device_cache = args.data_device_cache == "on"
+
     datamodule = SpeechDataModule(
         corpora=corpora, symbols=symbols, stats=modelcfg["stats"],
         num_bins=modelcfg["model"]["encoder"]["ve_n_bins"],
         batch_size=args.batch_size, num_workers=args.num_workers * max(1, args.devices),
         seed=jax.process_index(),  # each host shuffles/loads its own shard
+        device_cache=use_device_cache,
     )
     datamodule.prepare_data()
     print(f"{len(datamodule.train_dataset)} training samples")
