@@ -19,6 +19,12 @@
 set -u
 cd "$(dirname "$0")/.."
 REPO=$PWD
+# The persistent XLA cache is a net LOSS for these runs: retrieval of the
+# large (24-33 MB) train_step executables hangs indefinitely on the
+# tunneled backend (observed twice, round 5: frozen client CPU, no RPC
+# progress for 18+ min, while a fresh compile of the same program takes
+# ~2-6 min). Fresh-compile every process instead.
+export ZEROVOX_COMPILE_CACHE=0
 LOGDIR=/tmp/r5_chain
 mkdir -p "$LOGDIR"
 WHAT="${1:-all}"
@@ -33,7 +39,7 @@ train_chunk() {
     echo "=== $work chunk $n (${epochs}ep) from ${ck:-scratch} ==="
     ZEROVOX_PREPROCESSED_DATA_PATH="$work/pp" \
     PYTHONPATH="$REPO${PYTHONPATH:+:$PYTHONPATH}" \
-    python -m zerovox_tpu.cli.train \
+    python -u -m zerovox_tpu.cli.train \
         -c "$work/modelcfg.yaml" "$work/corpus.yaml" \
         --out-folder "$work/model" --accelerator tpu --devices 1 \
         --batch-size 16 --max-epochs "$epochs" --warmup-epochs 5 \
@@ -61,14 +67,14 @@ fi
 if [ "$WHAT" = voc ] || [ "$WHAT" = all ]; then
     echo "=== vocoder GAN training on $WORK/pp/real ==="
     PYTHONPATH="$REPO${PYTHONPATH:+:$PYTHONPATH}" \
-    python -m zerovox_tpu.cli.train_vocoder --data "$WORK/pp/real" \
+    python -u -m zerovox_tpu.cli.train_vocoder --data "$WORK/pp/real" \
         --out-folder "$VOCDIR" --max-epochs 600 --batch-size 16 \
         --checkpoint-every-n-epochs 50 --log-every-n-epochs 10 \
         > "$LOGDIR/voc_train.log" 2>&1 || { echo "VOC TRAIN FAILED"; exit 1; }
     tail -4 "$LOGDIR/voc_train.log"
     echo "=== vocoder step bench row ==="
     PYTHONPATH="$REPO${PYTHONPATH:+:$PYTHONPATH}" \
-    python -m zerovox_tpu.cli.train_vocoder --data "$WORK/pp/real" \
+    python -u -m zerovox_tpu.cli.train_vocoder --data "$WORK/pp/real" \
         --out-folder /tmp/zvx_voc5_bench --bench --bench-steps 20 \
         --batch-size 16 > "$LOGDIR/voc_bench.log" 2>&1 \
         || echo "VOC BENCH FAILED (non-fatal)"
