@@ -88,6 +88,23 @@ def test_dataset_pp_dir_alignment(tmp_path):
         assert ok, f"segment {j} is not an aligned slice of any source wav"
 
 
+def test_device_batches_match_host_batches(tmp_path):
+    """device_batches must replay the host loader bit-exactly (shared
+    _epoch_plan rng stream) — the loader-mode switch cannot perturb what
+    a GAN run trains on."""
+    root = str(tmp_path / "pp")
+    _write_pp_dir(root, n_items=5, n_frames=24, start_hop=2)
+    host = VocoderDataset([root], tiny_dcfg(segment_frames=8), seed=7)
+    dev = VocoderDataset([root], tiny_dcfg(segment_frames=8), seed=7)
+    for _ in range(2):  # two epochs: the stateful rng streams stay in step
+        hb = list(host.batches(2))
+        db = list(dev.device_batches(2))
+        assert len(hb) == len(db) >= 2
+        for h, d in zip(hb, db):
+            np.testing.assert_array_equal(h["mel"], np.asarray(d["mel"]))
+            np.testing.assert_array_equal(h["wav"], np.asarray(d["wav"]))
+
+
 def test_dataset_h5_dir(tmp_path):
     h5py = pytest.importorskip("h5py")
     root = str(tmp_path / "h5")

@@ -47,6 +47,12 @@ def get_args(argv=None):
     p.add_argument("--log-every-n-epochs", type=int, default=1)
     p.add_argument("--mel-weight", type=float, default=45.0)
     p.add_argument("--seed", type=int, default=42)
+    p.add_argument("--data-device-cache", default="on", choices=["on", "off"],
+                   help="keep the (mel, wav) corpus resident in HBM and cut "
+                        "training segments on device (bit-identical batches; "
+                        "removes the per-step host transfer — "
+                        "docs/PERFORMANCE.md round 5). Falls back to host "
+                        "loading over the HBM budget or multi-process")
     p.add_argument("--bench", action="store_true",
                    help="measure step time + FLOPs/MFU, print one JSON row, "
                         "and exit without training")
@@ -93,7 +99,8 @@ def main(argv=None):
         learning_rate=args.learning_rate, out_folder=args.out_folder,
         precision=args.precision, mel_weight=args.mel_weight,
         checkpoint_every_n_epochs=args.checkpoint_every_n_epochs,
-        log_every_n_epochs=args.log_every_n_epochs, seed=args.seed)
+        log_every_n_epochs=args.log_every_n_epochs, seed=args.seed,
+        device_cache=args.data_device_cache == "on")
     trainer = VocoderTrainer(gcfg, dcfg, tcfg, steps_per_epoch)
     state = trainer.init_state()
     if args.checkpoint:

@@ -98,6 +98,8 @@ class VocoderDataset:
         if not self.items:
             raise ValueError(f"no usable (mel, wav) items under {dirs}")
         self._rng = np.random.default_rng(seed)
+        self._dev = None  # populated by device_batches
+        self._cut = None
 
     def _add(self, mel: np.ndarray, wav: np.ndarray) -> None:
         hop, F = self.cfg.hop_size, self.cfg.segment_frames
@@ -144,25 +146,82 @@ class VocoderDataset:
     def __len__(self) -> int:
         return len(self.items)
 
-    def batches(self, batch_size: int) -> Iterator[dict]:
-        """One epoch: every item sampled once (shuffled), random segment
-        offset per draw; the tail batch wraps (same policy as the TTS
-        loader's wrap-padded export batches)."""
-        F, hop = self.cfg.segment_frames, self.cfg.hop_size
+    def _epoch_plan(self, batch_size: int) -> Iterator[tuple]:
+        """Shared rng stream for both loader modes: one (item-index,
+        segment-offset) plan per batch. Host and device assembly of the
+        same plan yield bit-identical batches."""
+        F = self.cfg.segment_frames
         order = self._rng.permutation(len(self.items))
         for b0 in range(0, len(order), batch_size):
             idx = order[b0 : b0 + batch_size]
             if len(idx) < batch_size:  # wrap
                 idx = np.concatenate(
                     [idx, order[: batch_size - len(idx)]])
+            t0s = np.asarray(
+                [int(self._rng.integers(0, self.items[int(i)][0].shape[0] - F + 1))
+                 for i in idx], np.int32)
+            yield np.asarray(idx, np.int32), t0s
+
+    def batches(self, batch_size: int) -> Iterator[dict]:
+        """One epoch: every item sampled once (shuffled), random segment
+        offset per draw; the tail batch wraps (same policy as the TTS
+        loader's wrap-padded export batches)."""
+        F, hop = self.cfg.segment_frames, self.cfg.hop_size
+        for idx, t0s in self._epoch_plan(batch_size):
             mels = np.empty((batch_size, F, self.cfg.num_mels), np.float32)
             wavs = np.empty((batch_size, F * hop), np.float32)
-            for j, i in enumerate(idx):
+            for j, (i, t0) in enumerate(zip(idx, t0s)):
                 mel, wav = self.items[int(i)]
-                t0 = int(self._rng.integers(0, mel.shape[0] - F + 1))
+                t0 = int(t0)
                 mels[j] = mel[t0 : t0 + F]
                 wavs[j] = wav[t0 * hop : (t0 + F) * hop]
             yield {"mel": mels, "wav": wavs}
+
+    def cache_nbytes(self) -> int:
+        tmax = max(mel.shape[0] for mel, _ in self.items)
+        return len(self.items) * tmax * 4 * (self.cfg.num_mels
+                                             + self.cfg.hop_size)
+
+    def device_batches(self, batch_size: int) -> Iterator[dict]:
+        """Device-cached twin of `batches`: the whole (mel, wav) corpus is
+        shipped to HBM once and each step's segments are cut on device
+        from a host transfer of just the (index, offset) plan — the same
+        per-step-device_put fix as the TTS loader's _DeviceCorpusCache
+        (docs/PERFORMANCE.md round 5). Bit-identical to `batches` (shared
+        `_epoch_plan` rng stream)."""
+        if self._dev is None:
+            import jax
+
+            hop = self.cfg.hop_size
+            n = len(self.items)
+            tmax = max(mel.shape[0] for mel, _ in self.items)
+            mels = np.zeros((n, tmax, self.cfg.num_mels), np.float32)
+            wavs = np.zeros((n, tmax * hop), np.float32)
+            for i, (mel, wav) in enumerate(self.items):
+                mels[i, : mel.shape[0]] = mel
+                wavs[i, : len(wav)] = wav
+            self._dev = {"mel": jax.device_put(mels),
+                         "wav": jax.device_put(wavs)}
+
+            F = self.cfg.segment_frames
+
+            def _cut(data, idx, t0s):
+                import jax.numpy as jnp  # noqa: F401
+
+                def one(m, w, t0):
+                    return (jax.lax.dynamic_slice(
+                                m, (t0, 0), (F, self.cfg.num_mels)),
+                            jax.lax.dynamic_slice(
+                                w, (t0 * hop,), (F * hop,)))
+
+                m, w = jax.vmap(one)(data["mel"][idx], data["wav"][idx], t0s)
+                return {"mel": m, "wav": w}
+
+            self._cut = jax.jit(_cut)
+            print(f"vocoder device cache: {n} items, "
+                  f"{(mels.nbytes + wavs.nbytes) / 1e6:.1f} MB on device")
+        for idx, t0s in self._epoch_plan(batch_size):
+            yield self._cut(self._dev, idx, t0s)
 
 
 # ------------------------------------------------------- jitted mel loss
@@ -312,6 +371,9 @@ class VocoderTrainerConfig:
     # test-size discriminator variants (full reference sizes by default)
     mpd_periods: tuple[int, ...] = (2, 3, 5, 7, 11)
     msd_scales: int = 3
+    # device-resident (mel, wav) corpus (VocoderDataset.device_batches)
+    device_cache: bool = True
+    device_cache_limit: int = 2 << 30
 
 
 class VocoderTrainer:
@@ -411,12 +473,18 @@ class VocoderTrainer:
         from zerovox_tpu.parallel.mesh import shard_batch
 
         tcfg = self.tcfg
+        # device-resident corpus unless it would crowd HBM or the run is
+        # multi-process (process-local host shards)
+        use_cache = (tcfg.device_cache
+                     and jax.process_count() == 1
+                     and dataset.cache_nbytes() <= tcfg.device_cache_limit)
+        loader = (dataset.device_batches if use_cache else dataset.batches)
         os.makedirs(tcfg.out_folder, exist_ok=True)
         t0 = time.time()
         history: list[dict] = []
         for epoch in range(tcfg.max_epochs):
             losses = None
-            for batch in dataset.batches(tcfg.batch_size):
+            for batch in loader(tcfg.batch_size):
                 state, losses = self._step(state, shard_batch(batch, self.mesh))
             if losses is not None and (
                     epoch % tcfg.log_every_n_epochs == 0
