@@ -163,6 +163,42 @@ def test_gan_losses_finite_and_mel_falls(trained):
     assert hist[-1]["g_mel"] < hist[0]["g_mel"]
 
 
+def test_split_step_matches_fused(tmp_path):
+    """--gan-step split must produce the same update trajectory as the
+    fused single-program round (same math, same D-then-G order) — it only
+    changes how the round is lowered for compilers that reject the fused
+    graph."""
+    import jax
+
+    root = str(tmp_path / "pp")
+    _write_pp_dir(root, n_items=4, n_frames=24)
+    dcfg = tiny_dcfg(segment_frames=8)
+    states, losses = [], []
+    for split in (False, True):
+        tcfg = VocoderTrainerConfig(
+            max_epochs=1, batch_size=4, learning_rate=1e-3,
+            out_folder=str(tmp_path / f"out{int(split)}"),
+            mpd_periods=(2, 3), msd_scales=2, split_step=split)
+        ds = VocoderDataset([root], dcfg, seed=0)
+        trainer = VocoderTrainer(tiny_gcfg(), dcfg, tcfg, steps_per_epoch=1)
+        state = trainer.init_state()
+        batch = next(ds.batches(4))
+        for _ in range(2):
+            state, loss = trainer._step(state, batch)
+        states.append(jax.device_get(state))
+        losses.append({k: float(v) for k, v in jax.device_get(loss).items()})
+    for k in losses[0]:
+        np.testing.assert_allclose(losses[0][k], losses[1][k], rtol=1e-5,
+                                   err_msg=k)
+    jax.tree.map(
+        lambda a, b: np.testing.assert_allclose(a, b, atol=1e-6),
+        states[0].g_params, states[1].g_params)
+    jax.tree.map(
+        lambda a, b: np.testing.assert_allclose(a, b, atol=1e-6),
+        states[0].d_params, states[1].d_params)
+    assert int(states[1].step) == 2
+
+
 def test_state_roundtrip(trained):
     import jax
 

@@ -47,6 +47,13 @@ def get_args(argv=None):
     p.add_argument("--log-every-n-epochs", type=int, default=1)
     p.add_argument("--mel-weight", type=float, default=45.0)
     p.add_argument("--seed", type=int, default=42)
+    p.add_argument("--gan-step", default="fused", choices=["fused", "split"],
+                   help="'fused' = one XLA program per GAN round; 'split' = "
+                        "separate D-update and G-update programs (same math "
+                        "and update order). Use split when the backend's "
+                        "compiler rejects the fused graph — the tunneled "
+                        "v5e remote compile dies on it at B=16 "
+                        "(docs/PERFORMANCE.md round 5)")
     p.add_argument("--data-device-cache", default="on", choices=["on", "off"],
                    help="keep the (mel, wav) corpus resident in HBM and cut "
                         "training segments on device (bit-identical batches; "
@@ -100,7 +107,8 @@ def main(argv=None):
         precision=args.precision, mel_weight=args.mel_weight,
         checkpoint_every_n_epochs=args.checkpoint_every_n_epochs,
         log_every_n_epochs=args.log_every_n_epochs, seed=args.seed,
-        device_cache=args.data_device_cache == "on")
+        device_cache=args.data_device_cache == "on",
+        split_step=args.gan_step == "split")
     trainer = VocoderTrainer(gcfg, dcfg, tcfg, steps_per_epoch)
     state = trainer.init_state()
     if args.checkpoint:
@@ -130,16 +138,22 @@ def bench_step(args, trainer, dataset, state):
 
     batch = shard_batch(next(dataset.batches(args.batch_size)), trainer.mesh)
 
+    def _flops(compiled):
+        try:
+            ca = compiled.cost_analysis()
+            ca = ca[0] if isinstance(ca, list) else ca
+            return float(ca.get("flops", 0.0)) or None
+        except Exception:
+            return None
+
     t0 = time.perf_counter()
-    compiled = trainer._step.lower(state, batch).compile()
+    parts = getattr(trainer._step, "parts", None)
+    if parts:  # split lowering: compile + cost both halves
+        compiled = [p.lower(state, batch).compile() for p in parts]
+        flops = sum(filter(None, (_flops(c) for c in compiled))) or None
+    else:
+        flops = _flops(trainer._step.lower(state, batch).compile())
     compile_s = time.perf_counter() - t0
-    flops = None
-    try:
-        ca = compiled.cost_analysis()
-        ca = ca[0] if isinstance(ca, list) else ca
-        flops = float(ca.get("flops", 0.0)) or None
-    except Exception:
-        pass
 
     def run(n):
         nonlocal state

@@ -279,10 +279,18 @@ def make_vocoder_step(
     mel_weight: float = 45.0,
     precision: str = "32",
     jit: bool = True,
+    split: bool = False,
 ) -> Callable:
     """One GAN round (upstream HiFi-GAN train.py order): D step on the
     detached fake, then G step (adv + 2*feature-matching + 45*mel L1)
     against the UPDATED discriminators. Everything in one XLA program.
+
+    split=True lowers the round as TWO jitted programs (D update, then G
+    update) with identical math and update order. Use when the fused
+    program is too large for the backend's compiler: the tunneled v5e's
+    remote compile dies on the fused G+MPD+MSD fwd+bwd graph at B=16
+    ("response body closed", the same failure mode as the B=256 TTS step
+    — docs/PERFORMANCE.md round 5), while each half compiles fine.
 
     precision="bf16-mixed" runs both nets' forwards in bfloat16 with f32
     master weights; every loss is reduced in f32.
@@ -299,12 +307,9 @@ def make_vocoder_step(
     def _f32(x):
         return x.astype(jnp.float32)
 
-    def step(state: VocoderTrainState, batch: dict):
-        mel, y = batch["mel"], batch["wav"]
-        cmel, cy = _half(mel), _half(y)
-
-        # ---------------- discriminator update (fake is constant wrt D)
-        y_hat = gen.apply({"params": _half(state.g_params)}, cmel)
+    def _d_update(state: VocoderTrainState, cy, y_hat):
+        """Discriminator update against a constant fake; shared by the
+        fused and split lowerings (identical math either way)."""
 
         def d_loss_fn(d_params):
             dp = _half(d_params)
@@ -319,9 +324,12 @@ def make_vocoder_step(
         d_grads, d_aux = jax.grad(d_loss_fn, has_aux=True)(state.d_params)
         d_updates, d_opt = tx_d.update(d_grads, state.d_opt, state.d_params)
         d_params = optax.apply_updates(state.d_params, d_updates)
+        d_aux = {**d_aux, "d_total": d_aux["d_mpd"] + d_aux["d_msd"]}
+        return state.replace(d_params=d_params, d_opt=d_opt), d_aux
 
-        # ---------------- generator update (fresh forward under grad)
-        dp = _half(d_params)
+    def _g_update(state: VocoderTrainState, mel, cmel, cy):
+        """Generator update against the (already updated) discriminators."""
+        dp = _half(state.d_params)
 
         def g_loss_fn(g_params):
             y_g = gen.apply({"params": _half(g_params)}, cmel)
@@ -338,13 +346,39 @@ def make_vocoder_step(
         g_grads, g_aux = jax.grad(g_loss_fn, has_aux=True)(state.g_params)
         g_updates, g_opt = tx_g.update(g_grads, state.g_opt, state.g_params)
         g_params = optax.apply_updates(state.g_params, g_updates)
+        return state.replace(g_params=g_params, g_opt=g_opt,
+                             step=state.step + 1), g_aux
 
-        losses = {**d_aux, **g_aux,
-                  "d_total": d_aux["d_mpd"] + d_aux["d_msd"]}
-        new_state = state.replace(g_params=g_params, d_params=d_params,
-                                  g_opt=g_opt, d_opt=d_opt,
-                                  step=state.step + 1)
-        return new_state, losses
+    if split:
+        def d_step(state: VocoderTrainState, batch: dict):
+            cmel, cy = _half(batch["mel"]), _half(batch["wav"])
+            y_hat = gen.apply({"params": _half(state.g_params)}, cmel)
+            return _d_update(state, cy, y_hat)
+
+        def g_step(state: VocoderTrainState, batch: dict):
+            mel = batch["mel"]
+            return _g_update(state, mel, _half(mel), _half(batch["wav"]))
+
+        if jit:
+            d_step = jax.jit(d_step, donate_argnums=(0,))
+            g_step = jax.jit(g_step, donate_argnums=(0,))
+
+        def step2(state: VocoderTrainState, batch: dict):
+            state, d_aux = d_step(state, batch)
+            state, g_aux = g_step(state, batch)
+            return state, {**d_aux, **g_aux}
+
+        step2.parts = (d_step, g_step)
+        return step2
+
+    def step(state: VocoderTrainState, batch: dict):
+        mel, y = batch["mel"], batch["wav"]
+        cmel, cy = _half(mel), _half(y)
+        # D update on the detached fake, then G against the updated D
+        y_hat = gen.apply({"params": _half(state.g_params)}, cmel)
+        state, d_aux = _d_update(state, cy, y_hat)
+        state, g_aux = _g_update(state, mel, cmel, cy)
+        return state, {**d_aux, **g_aux}
 
     if not jit:
         return step
@@ -374,6 +408,8 @@ class VocoderTrainerConfig:
     # device-resident (mel, wav) corpus (VocoderDataset.device_batches)
     device_cache: bool = True
     device_cache_limit: int = 2 << 30
+    # lower the GAN round as two XLA programs (make_vocoder_step split=True)
+    split_step: bool = False
 
 
 class VocoderTrainer:
@@ -401,7 +437,7 @@ class VocoderTrainer:
         self._step = make_vocoder_step(
             self.gen, self.mpd, self.msd, self.tx_g, self.tx_d,
             self._logmel, mel_weight=tcfg.mel_weight,
-            precision=tcfg.precision)
+            precision=tcfg.precision, split=tcfg.split_step)
 
     def init_state(self, rng: jax.Array | None = None) -> VocoderTrainState:
         from zerovox_tpu.parallel.mesh import replicate
